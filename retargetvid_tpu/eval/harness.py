@@ -1,0 +1,196 @@
+"""RetargetVid evaluation harness.
+
+Vectorized reimplementation of the reference evaluator
+(``retargetvid_eval.py:128-283``) with identical scoring semantics:
+
+- inclusive (+1) rectangle IoU (``retargetvid_eval.py:10-27``)
+- negative coordinates of BOTH boxes clamped to 0 (``:181-190``)
+- per video: mean of frame IoUs; per user: mean over videos; reported
+  worst/best/mean x100 over the 6 users (``:235-246``)
+- frame counts taken from annotator 1; prediction files may mismatch by
+  +-1 frame (extra prediction frames ignored; missing frames are an error)
+
+The whole 200-video x 2-ratio x 6-user scoring runs as flat numpy array math
+rather than the reference's quadruple Python loop.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+from pathlib import Path
+
+import numpy as np
+
+from retargetvid_tpu.eval.annotations import (
+    ASPECT_RATIOS,
+    VID_INDS,
+    frame_counts_from_annots,
+    read_boxes_file,
+)
+
+
+def iou_xyxy_inclusive(box_a, box_b) -> np.ndarray:
+    """Inclusive rectangle IoU, broadcasting over leading dims.
+
+    Semantics of reference ``retargetvid_eval.py:10-27`` /
+    ``smartVidCrop.py:927-944``: intersection and areas measured with the
+    +1 inclusive convention.
+    """
+    box_a = np.asarray(box_a, dtype=np.float64)
+    box_b = np.asarray(box_b, dtype=np.float64)
+    xa = np.maximum(box_a[..., 0], box_b[..., 0])
+    ya = np.maximum(box_a[..., 1], box_b[..., 1])
+    xb = np.minimum(box_a[..., 2], box_b[..., 2])
+    yb = np.minimum(box_a[..., 3], box_b[..., 3])
+    inter = np.maximum(0.0, xb - xa + 1) * np.maximum(0.0, yb - ya + 1)
+    area_a = (box_a[..., 2] - box_a[..., 0] + 1) * (box_a[..., 3] - box_a[..., 1] + 1)
+    area_b = (box_b[..., 2] - box_b[..., 0] + 1) * (box_b[..., 3] - box_b[..., 1] + 1)
+    return inter / (area_a + area_b - inter)
+
+
+def iou_series(gt_boxes, pred_boxes) -> np.ndarray:
+    """Per-frame IoU with the evaluator's negative-coordinate clamping."""
+    gt = np.maximum(np.asarray(gt_boxes, dtype=np.float64), 0.0)
+    pr = np.maximum(np.asarray(pred_boxes, dtype=np.float64), 0.0)
+    return iou_xyxy_inclusive(gt, pr)
+
+
+def benchmark_eval_boxes(pred_boxes: np.ndarray, ar: str) -> np.ndarray:
+    """Apply the benchmark-time fixed-size box rewrite before IoU.
+
+    The inline evaluation in the reference benchmark loop
+    (``smartVidCrop.py:2808-2819``) forces fixed crop-window sizes before
+    scoring: 1:3 -> x from the prediction with a 120x360 window; 3:1 -> y from
+    the prediction with a 640x214 window.  Ground-truth boxes are built the
+    same way from the annotated offset.
+    """
+    pred = np.asarray(pred_boxes, dtype=np.int64).copy()
+    if ar in ('1:3', '1-3'):
+        pred[:, 2] = pred[:, 0] + 120
+        pred[:, 3] = 360
+    elif ar in ('3:1', '3-1'):
+        pred[:, 2] = 640
+        pred[:, 3] = pred[:, 1] + 214
+    else:
+        raise ValueError(f'unknown aspect ratio {ar!r}')
+    return pred
+
+
+def score_run(run_dir, annots, vid_inds=VID_INDS) -> dict:
+    """Score one results directory against all annotators.
+
+    Returns ``{ar: {'worst','best','mean','per_user','per_video',
+    'missing_files'}}`` with scores x100 as the reference prints them.
+    """
+    run_dir = Path(run_dir)
+    frame_counts = frame_counts_from_annots(annots, vid_inds)
+    n_users = len(annots)
+    out = {}
+    for ar in ASPECT_RATIOS:
+        per_user_vid_ious = [[] for _ in range(n_users)]
+        per_video = {}
+        missing = 0
+        for vid_ind in vid_inds:
+            fn = run_dir / ('%03d_%s.txt' % (vid_ind, ar))
+            if not fn.is_file():
+                missing += 1
+                continue
+            pred = read_boxes_file(fn)
+            n_frames = frame_counts[vid_ind]
+            if len(pred) < n_frames:
+                raise ValueError(
+                    f'{fn}: {len(pred)} prediction frames < {n_frames} '
+                    f'annotated frames')
+            pred = np.maximum(pred[:n_frames].astype(np.float64), 0.0)
+            # gt stack: (users, frames, 4), clamped like the reference
+            gt = np.stack([np.maximum(
+                annots[u][ar][vid_ind][:n_frames].astype(np.float64), 0.0)
+                for u in range(n_users)])
+            ious = iou_xyxy_inclusive(gt, pred[None])   # (users, frames)
+            vid_means = ious.mean(axis=1)
+            per_video[vid_ind] = vid_means
+            for u in range(n_users):
+                per_user_vid_ious[u].append(vid_means[u])
+        users_ious = [statistics.mean(v) if v else float('nan')
+                      for v in per_user_vid_ious]
+        out[ar] = {
+            'per_user': [x * 100 for x in users_ious],
+            'worst': min(users_ious) * 100,
+            'best': max(users_ious) * 100,
+            'mean': statistics.mean(users_ious) * 100,
+            'per_video': per_video,
+            'missing_files': missing,
+        }
+    return out
+
+
+def parse_info_stats(run_dir, vid_inds=VID_INDS) -> dict:
+    """Parse optional ``NNN_<ar>_info.txt`` timing stats.
+
+    Mirrors ``retargetvid_eval.py:196-222``: lines containing ``%`` parse as
+    ``<id>: <sec>, <percent>%`` timing entries; ``cuts_clust``/``cuts_extra``/
+    ``no_extra_cuts`` parse as ints.
+    """
+    run_dir = Path(run_dir)
+    stats: dict = {}
+    for ar in ASPECT_RATIOS:
+        stats[ar] = {}
+        for vid_ind in vid_inds:
+            fn = run_dir / ('%03d_%s_info.txt' % (vid_ind, ar))
+            if not fn.is_file():
+                continue
+            with open(fn) as fp:
+                for line in fp.read().splitlines():
+                    if '%' in line:
+                        key = line.split(':')[0].strip().lower()
+                        val = float(line.split(',')[1].replace('%', '').strip())
+                        stats[ar].setdefault(key, []).append(val)
+                    elif 'cuts_clust:' in line:
+                        stats[ar].setdefault('cuts_clust', []).append(
+                            int(line.split(':')[1].strip()))
+                    elif 'cuts_extra:' in line:
+                        stats[ar].setdefault('cuts_extra', []).append(
+                            int(line.split(':')[1].strip()))
+                    elif 'no_extra_cuts:' in line:
+                        stats[ar].setdefault('no_extra_cuts', []).append(
+                            int(line.split(':')[1].strip()))
+    return stats
+
+
+def evaluate_results_tree(results_dir, annots,
+                          output_file='eval_current.txt',
+                          vid_inds=VID_INDS,
+                          verbose=True) -> dict:
+    """Evaluate every run directory under ``results_dir``.
+
+    Drop-in equivalent of running ``retargetvid_eval.py <results_dir>``:
+    scores each subdirectory, prints the CSV table, writes ``eval_current.txt``.
+    Returns ``{run_name: score_run(...) result}``.
+    """
+    results_dir = Path(results_dir)
+    runs = sorted(p.name for p in results_dir.iterdir() if p.is_dir())
+    evals = {}
+    lines = []
+    header = ('%-36s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s' %
+              ('Method', 'Worst', 'Best', 'Mean',
+               'Worst', 'Best', 'Mean', 'mf', 'mf'))
+    lines.append(header)
+    for run in runs:
+        scores = score_run(results_dir / run, annots, vid_inds)
+        evals[run] = scores
+        row = '%-36s,' % run
+        missing_total = 0
+        for ar in ASPECT_RATIOS:
+            s = scores[ar]
+            row += '%05.3f,%05.3f,%05.3f,' % (s['worst'], s['best'], s['mean'])
+            missing_total += s['missing_files']
+        row += '%d' % missing_total
+        lines.append(row)
+    if verbose:
+        for ln in lines:
+            print(ln)
+    if output_file:
+        with open(output_file, 'w') as fp:
+            fp.write('\n'.join(lines) + '\n')
+    return evals

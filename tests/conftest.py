@@ -1,0 +1,37 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic
+(``retargetvid_tpu.parallel``) is exercised without TPU hardware.  These env
+vars must be set before JAX initializes its backends, hence before any test
+module imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not REFERENCE_DIR.is_dir():
+        pytest.skip("reference assets not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def annots(reference_dir, tmp_path_factory):
+    """All 6 annotators' ground truth, extracted to a writable tmp dir."""
+    from retargetvid_tpu.eval.annotations import load_annotations
+    extract_dir = tmp_path_factory.mktemp("annots")
+    return load_annotations(reference_dir / "annotations",
+                            extract_to=extract_dir)
