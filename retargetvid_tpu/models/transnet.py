@@ -1,0 +1,99 @@
+"""TransNet V1 shot-boundary detector (flax, NDHWC, TPU-native).
+
+Behavioral parity with the reference TF1 graph
+(``transnetv1_handler.py:25-83``): input uint8 (B, T, 27, 48, 3) scaled by
+1/255, then L=3 "SDDCNN" stages of S=2 "DDCNN" cells — each cell runs four
+parallel 3x3x3 Conv3D branches with temporal dilations 1, 2, 4, 8 (ReLU,
+bias) whose outputs concatenate on channels — followed by spatial 1x2x2 max
+pooling; finally per-frame flatten, Dense(256)+ReLU, Dense(2), softmax[..1].
+
+Window inference (``transnetv1_handler.py:100-130``): 100-frame sliding
+windows with stride 50, edge-padded, keeping each window's middle 50
+predictions.  On TPU the windows become ONE batched forward (B = n_windows)
+instead of the reference's sequential session.run loop.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TransNetV1", "predict_video_windows"]
+
+INPUT_HEIGHT = 27
+INPUT_WIDTH = 48
+
+
+class DDCNN(nn.Module):
+    """Four parallel temporally-dilated 3D convs, channel-concatenated."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        for d in (1, 2, 4, 8):
+            y = nn.Conv(self.filters, (3, 3, 3),
+                        kernel_dilation=(d, 1, 1),
+                        padding='SAME', use_bias=True,
+                        name=f'conv3d_dil{d}')(x)
+            outs.append(nn.relu(y))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class TransNetV1(nn.Module):
+    """TransNet V1: (B, T, 27, 48, 3) uint8/float -> (B, T) transition probs."""
+    f: int = 16     # base filters
+    l: int = 3      # SDDCNN stages
+    s: int = 2      # DDCNN cells per stage
+    d: int = 256    # dense width
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.float32) / 255.0
+        for idx_l in range(self.l):
+            filters = (2 ** idx_l) * self.f
+            for idx_s in range(self.s):
+                x = DDCNN(filters, name=f'sddcnn{idx_l + 1}_ddcnn{idx_s + 1}')(x)
+            # Spatial-only max pool (1, 2, 2).
+            x = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b, t, -1)
+        x = nn.relu(nn.Dense(self.d, name='dense1')(x))
+        logits = nn.Dense(2, name='dense2')(x)
+        return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+
+def predict_video_windows(apply_fn, frames, window: int = 100,
+                          stride: int = 50, keep: tuple = (25, 75),
+                          batch_windows: int = 64):
+    """Sliding-window shot predictions over a whole clip, batched.
+
+    ``frames``: (N, 27, 48, 3) uint8.  Reproduces the reference's window
+    plan (edge padding by 25 front / 25..74 back, stride 50, keep the middle
+    [25:75) of each window — ``transnetv1_handler.py:105-130``) but evaluates
+    all windows as ONE batch on the MXU.
+
+    ``apply_fn``: callable (B, T, H, W, 3) -> (B, T) probabilities.
+    Returns (N,) float32 numpy array.
+    """
+    frames = np.asarray(frames)
+    n = len(frames)
+    pad_start = keep[0]
+    rem = n % stride
+    pad_end = keep[0] + stride - (rem if rem != 0 else stride)
+    padded = np.concatenate(
+        [np.repeat(frames[:1], pad_start, axis=0), frames,
+         np.repeat(frames[-1:], pad_end, axis=0)], axis=0)
+
+    starts = list(range(0, len(padded) - window + 1, stride))
+    windows = np.stack([padded[s:s + window] for s in starts])
+
+    probs = []
+    for i in range(0, len(windows), batch_windows):
+        batch = jnp.asarray(windows[i:i + batch_windows])
+        p = np.asarray(apply_fn(batch))
+        probs.append(p[:, keep[0]:keep[1]])
+    probs = np.concatenate(probs, axis=0).reshape(-1)
+    return probs[:n]

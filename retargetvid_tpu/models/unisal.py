@@ -1,0 +1,240 @@
+"""UNISAL saliency model (flax, NHWC, TPU-native).
+
+Behavioral parity with the reference torch model (``unisal/model.py:104-506``):
+MobileNetV2 backbone with 2x/4x skip taps, 16 learned Gaussian prior maps
+concatenated at the coarsest scale, a Post-CNN inverted residual, an optional
+ConvGRU (bypassed for static inputs — the crop pipeline's mode,
+``model.py:459``), a two-stage decoder with skip concatenations, a per-source
+1x1 adaptation conv, a fixed-initialization 41x41 Gaussian smoothing conv
+with replicate padding, bilinear resize to the target size, and a spatial
+log-softmax.
+
+Domain-specific modules (BatchNorm/adaptation/smoothing/Gaussians per
+source, ``model.py:65-101, 248-275``) resolve statically: ``source`` is a
+Python string at trace time, so the compiled program contains exactly one
+branch.
+
+TPU notes: the time axis is folded into the batch for the static path (one
+big NHWC conv batch on the MXU instead of the reference's per-frame Python
+loop, ``model.py:440-453``); the dynamic path runs the ConvGRU as a
+``lax.scan``.  All resizes are the matmul formulation from
+``retargetvid_tpu.ops.resize``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retargetvid_tpu.models.convgru import ConvGRU
+from retargetvid_tpu.models.layers import (
+    DEFAULT_SOURCES,
+    Conv1x1BN,
+    InvertedResidual,
+    make_bn,
+)
+from retargetvid_tpu.models.mobilenet_v2 import MobileNetV2
+from retargetvid_tpu.ops.resize import resize
+
+__all__ = ["UNISAL", "manual_gaussian_init", "gaussian_prior_maps",
+           "spatial_log_softmax", "smoothing_kernel_init"]
+
+
+def manual_gaussian_init() -> np.ndarray:
+    """The 16 hand-placed Gaussians (reference ``model.py:323-331``).
+
+    Returns (16, 2, 2) — [gaussian, y/x, mu/logstd].
+    """
+    mus = (list(itertools.product([0.25, 0.5, 0.75], repeat=2)) +
+           [(0.5, 0.25), (0.5, 0.5), (0.5, 0.75)] +
+           [(0.25, 0.5), (0.5, 0.5), (0.75, 0.5)] +
+           [(0.5, 0.5)])
+    logstds = [(-1.5, -1.5)] * 9 + [(0.0, -1.5)] * 3 + \
+              [(-1.5, 0.0)] * 3 + [(0.0, 0.0)]
+    out = np.zeros((16, 2, 2), np.float32)
+    for g in range(16):
+        out[g, 0] = (mus[g][0], logstds[g][0])
+        out[g, 1] = (mus[g][1], logstds[g][1])
+    return out
+
+
+def gaussian_prior_maps(gaussians, size_hw: Tuple[int, int],
+                        scaling: float = 6.0):
+    """Build (H, W, G) prior maps from (G, 2, 2) Gaussian parameters."""
+    h, w = size_hw
+    gy = jnp.linspace(0.0, 1.0, h)[:, None, None]          # (H, 1, 1)
+    gx = jnp.linspace(0.0, 1.0, w)[None, :, None]          # (1, W, 1)
+    mu_y = gaussians[:, 0, 0][None, None, :]
+    std_y = jnp.exp(gaussians[:, 0, 1])[None, None, :]
+    mu_x = gaussians[:, 1, 0][None, None, :]
+    std_x = jnp.exp(gaussians[:, 1, 1])[None, None, :]
+    m = jnp.exp(-((gy - mu_y) / std_y) ** 2 / 2.0) * \
+        jnp.exp(-((gx - mu_x) / std_x) ** 2 / 2.0)
+    return m * scaling
+
+
+def smoothing_kernel_init(ksize: int = 41) -> np.ndarray:
+    """Normalized Gaussian smoothing kernel (reference ``model.py:264-272``),
+    built with mu=0.5, logstd=-2 on a [0,1] grid; returns (k, k, 1, 1) HWIO.
+    """
+    grid = np.linspace(0.0, 1.0, ksize)
+    std = np.exp(-2.0)
+    g1 = np.exp(-(((grid - 0.5) / std) ** 2) / 2.0)
+    k = np.outer(g1, g1)
+    k = k / k.sum()
+    return k.astype(np.float32).reshape(ksize, ksize, 1, 1)
+
+
+def spatial_log_softmax(x):
+    """Log-softmax over the spatial dims of (..., H, W, C=1)."""
+    shape = x.shape
+    flat = x.reshape(shape[:-3] + (-1,))
+    flat = jax.nn.log_softmax(flat, axis=-1)
+    return flat.reshape(shape)
+
+
+class _SkipConnection(nn.Module):
+    """expansion (1x1 conv+BN+ReLU6) -> dropout -> reduction (1x1 conv+BN)."""
+    in_ch: int
+    out_ch: int
+    expand_ratio: int = 2
+    drop_prob: float = 0.6
+    sources: Sequence[str] = DEFAULT_SOURCES
+    ds_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, source='DHF1K', deterministic: bool = True):
+        hidden = round(self.in_ch * self.expand_ratio)
+        x = Conv1x1BN(hidden, sources=self.sources, ds_bn=self.ds_bn,
+                      name='expansion')(x, source)
+        x = nn.Dropout(self.drop_prob, broadcast_dims=(1, 2),
+                       deterministic=deterministic)(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=True,
+                    name='reduction_conv')(x)
+        bn = make_bn(self.ds_bn, self.sources)(name='reduction_bn')
+        x = bn(x, source) if self.ds_bn else bn(x)
+        return x
+
+
+class UNISAL(nn.Module):
+    """UNISAL saliency network.
+
+    Call with NHWC frames ``x`` of shape (B, T, H, W, 3) (already
+    LANCZOS-resized to a x32 grid and ImageNet-normalized).  Returns
+    log-probability maps of shape (B, T, th, tw, 1) plus the final RNN hidden
+    state (or None on the static path).
+    """
+    rnn_input_channels: int = 256
+    rnn_hidden_channels: int = 256
+    bypass_rnn: bool = True
+    res_rnn: bool = True
+    n_gaussians: int = 16
+    smoothing_ksize: int = 41
+    drop_probs: Tuple[float, float, float] = (0.0, 0.6, 0.6)
+    sources: Sequence[str] = DEFAULT_SOURCES
+    ds_bn: bool = True
+    ds_adaptation: bool = True
+    ds_smoothing: bool = True
+    ds_gaussians: bool = True
+    with_rnn: bool = True
+
+    def _suffix(self, flag: bool, source: str) -> str:
+        return f'_{source.lower()}' if flag else ''
+
+    @nn.compact
+    def __call__(self, x, target_size: Optional[Tuple[int, int]] = None,
+                 h0=None, source: str = 'DHF1K',
+                 static: Optional[bool] = None,
+                 deterministic: bool = True):
+        b, t, h, w, c = x.shape
+        if target_size is None:
+            target_size = (h, w)
+        if static is None:
+            static = t == 1 or tuple(self.sources) == ('SALICON',)
+
+        cnn = MobileNetV2(name='cnn')
+        # Fold time into batch: one conv batch instead of a frame loop.
+        flat = x.reshape(b * t, h, w, c)
+        feat_1x, feat_2x, feat_4x = cnn(flat)
+
+        feat_2x = _SkipConnection(
+            cnn.feat_2x_channels, 128, 2, self.drop_probs[1],
+            sources=self.sources, ds_bn=self.ds_bn, name='skip_2x')(
+            feat_2x, source, deterministic)
+        feat_4x = _SkipConnection(
+            cnn.feat_4x_channels, 64, 2, self.drop_probs[2],
+            sources=self.sources, ds_bn=self.ds_bn, name='skip_4x')(
+            feat_4x, source, deterministic)
+
+        if self.n_gaussians > 0:
+            gsuf = self._suffix(self.ds_gaussians, source)
+            gaussians = self.param(
+                f'coarse_gaussians{gsuf}',
+                lambda key: jnp.asarray(manual_gaussian_init()))
+            priors = gaussian_prior_maps(
+                gaussians, feat_1x.shape[1:3])            # (h, w, G)
+            priors = jnp.broadcast_to(
+                priors[None], (feat_1x.shape[0],) + priors.shape)
+            feat_1x = jnp.concatenate([feat_1x, priors], axis=-1)
+
+        feat_1x = InvertedResidual(
+            feat_1x.shape[-1], self.rnn_input_channels, 1, 1,
+            sources=self.sources, ds_bn=False, name='post_cnn')(feat_1x)
+
+        # Bypass-RNN (reference model.py:457-460): static inputs skip it.
+        hidden = None
+        if not (static and self.bypass_rnn) and self.with_rnn:
+            seq = feat_1x.reshape(b, t, *feat_1x.shape[1:])
+            rnn_out, hidden = ConvGRU(
+                self.rnn_input_channels, self.rnn_hidden_channels,
+                sources=self.sources, ds_bn=self.ds_bn, name='rnn')(
+                seq, h0=h0, source=source, deterministic=deterministic)
+            rnn_out = rnn_out.reshape(b * t, *rnn_out.shape[2:])
+            rnn_out = Conv1x1BN(
+                self.rnn_input_channels, sources=self.sources,
+                ds_bn=self.ds_bn, name='post_rnn')(rnn_out, source)
+            feat_1x = feat_1x + rnn_out if self.res_rnn else rnn_out
+
+        # Decoder.
+        up = feat_1x
+        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear')
+        up = jnp.concatenate([up, feat_2x], axis=-1)
+        up = InvertedResidual(
+            up.shape[-1], 128, 1, 2, sources=self.sources,
+            ds_bn=self.ds_bn, name='upsampling_2_inv_res')(up, source)
+        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear')
+        up = jnp.concatenate([up, feat_4x], axis=-1)
+        up = InvertedResidual(
+            up.shape[-1], 64, 1, 2, sources=self.sources,
+            ds_bn=self.ds_bn, name='post_upsampling_2_inv_res')(up, source)
+
+        asuf = self._suffix(self.ds_adaptation, source)
+        up = nn.Conv(1, (1, 1), use_bias=True, name=f'adaptation{asuf}')(up)
+
+        # Nearest resize to the network input size.
+        up = resize(up, (h, w), 'nearest')
+
+        # Replicate pad + fixed-init Gaussian smoothing conv.
+        ssuf = self._suffix(self.ds_smoothing, source)
+        ksize = self.smoothing_ksize
+        pad = ksize // 2
+        smooth_w = self.param(
+            f'smoothing{ssuf}',
+            lambda key: jnp.asarray(smoothing_kernel_init(ksize)))
+        padded = jnp.pad(up, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                         mode='edge')
+        up = jax.lax.conv_general_dilated(
+            padded, smooth_w, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        # Bilinear resize to target size, then spatial log-softmax.
+        up = resize(up, target_size, 'linear')
+        up = spatial_log_softmax(up)
+
+        out = up.reshape(b, t, *up.shape[1:])
+        return out, hidden

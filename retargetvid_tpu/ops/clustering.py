@@ -1,0 +1,182 @@
+"""Filtering-through-clustering, fully on device.
+
+The reference selects each frame's main focus region by clustering the
+nonzero (thresholded) saliency pixels with HDBSCAN and keeping only the
+heaviest cluster (``sc_clustering_filt``, ``smartVidCrop.py:1062-1161``).
+Hierarchical density clustering is hostile to TPU (dynamic point sets,
+mutual-reachability graphs), so this module preserves the *decision* — which
+pixels survive — with a vectorizable equivalent:
+
+1. Binary mask of nonzero pixels, optionally dilated by ``bridge`` pixels to
+   emulate HDBSCAN's density linking of nearby blobs.
+2. Connected components by min-label propagation with pointer jumping
+   (O(log diameter) rounds of 3x3 min-pool + two gather hops) — a classic
+   parallel CCL formulation that maps onto the VPU.
+3. Per-component mass (sum or max of saliency, matching ``select_sum``) via
+   one scatter-add/scatter-max into an (H*W,) table.
+4. Components with fewer than ``min_cluster_size`` member pixels are noise
+   (HDBSCAN ``min_cluster_size`` analog).  If no component survives, the frame
+   passes through unfiltered (reference ``n_clusters == 0`` path).
+5. All pixels outside the winning component are zeroed; optional 5x5
+   morphological close (reference ``op_close``).
+
+Everything is batched over frames with ``vmap`` — the whole clip filters in
+one XLA program instead of a per-frame Python loop over an HDBSCAN fit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from retargetvid_tpu.ops.morphology import close as morph_close
+from retargetvid_tpu.ops.morphology import dilate as morph_dilate
+from retargetvid_tpu.ops.resize import RESIZE_TYPE_TO_METHOD, resize
+
+__all__ = ["connected_components", "clustering_filter"]
+
+
+def _min_pool3(x):
+    """3x3 min-pool with +inf-like padding, any (..., H, W)."""
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, x.dtype)
+    return -jax.lax.reduce_window(
+        -x, -big, jax.lax.max,
+        (1,) * (x.ndim - 2) + (3, 3),
+        (1,) * x.ndim,
+        [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+
+
+def connected_components(mask, n_iters: int = 12):
+    """8-connected component labels of a boolean (H, W) mask.
+
+    Returns int32 (H, W): each foreground pixel labeled with the smallest
+    flat index of its component; background pixels get H*W.
+
+    ``n_iters`` rounds of (min-pool propagation + two pointer-jump hops)
+    give a reach that grows super-exponentially; 12 is enough for any
+    map up to thousands of pixels across.
+    """
+    mask = jnp.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    bg = jnp.int32(h * w)
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    labels = jnp.where(mask, flat_idx, bg)
+
+    def body(_, labels):
+        # Propagate the min label across the 8-neighborhood (foreground only).
+        pooled = _min_pool3(labels)
+        labels = jnp.where(mask, jnp.minimum(labels, pooled), bg)
+        # Pointer jumping: follow the label chain two hops.
+        flat = labels.reshape(-1)
+        flat_ext = jnp.concatenate([flat, jnp.array([bg], jnp.int32)])
+        flat = flat_ext[flat]
+        flat = jnp.concatenate([flat, jnp.array([bg], jnp.int32)])[flat]
+        return jnp.where(mask, flat.reshape(h, w), bg)
+
+    return jax.lax.fori_loop(0, n_iters, body, labels)
+
+
+def _filter_one(smap, *, min_cluster_size: int, select_sum: int,
+                bridge: int, cc_iters: int):
+    """Cluster-filter a single (H, W) float32 saliency map (factor-resized)."""
+    h, w = smap.shape
+    n_px = h * w
+    mask = smap > 0
+
+    link_mask = mask
+    if bridge > 0:
+        link_mask = morph_dilate(mask.astype(jnp.float32),
+                                 2 * bridge + 1) > 0.5
+    labels = connected_components(link_mask, n_iters=cc_iters)
+    labels = jnp.where(mask, labels, n_px)          # only true pixels count
+    flat_labels = labels.reshape(-1)
+    flat_vals = smap.reshape(-1)
+    member = flat_labels < n_px
+
+    # Component reductions into an (H*W + 1,) table (last slot = background).
+    sizes = jnp.zeros(n_px + 1, jnp.int32).at[flat_labels].add(
+        member.astype(jnp.int32))
+    if select_sum == 1:
+        weights = jnp.zeros(n_px + 1, jnp.float32).at[flat_labels].add(
+            jnp.where(member, flat_vals, 0.0))
+    else:
+        weights = jnp.zeros(n_px + 1, jnp.float32).at[flat_labels].max(
+            jnp.where(member, flat_vals, -jnp.inf))
+
+    valid = (sizes >= min_cluster_size) & \
+            (jnp.arange(n_px + 1) < n_px)
+    any_valid = jnp.any(valid)
+    # First-max tie-break = lowest root index, like the reference's
+    # weights.index(max(weights)).
+    winner = jnp.argmax(jnp.where(valid, weights, -jnp.inf))
+
+    keep = flat_labels == winner
+    filtered = jnp.where(keep.reshape(h, w), smap, 0.0)
+
+    # Reference semantics: with zero clusters the map passes through; the
+    # per-frame "enough points" gate (X.shape[0] > hdbscan_min + 1) is applied
+    # by the caller, as is op_close.
+    n_points = jnp.sum(mask)
+    return filtered, any_valid, n_points
+
+
+def clustering_filter(smaps,
+                      *,
+                      min_cluster_size: int = 26,
+                      select_sum: int = 2,
+                      resize_factor: float = 1.0,
+                      resize_type: int = 1,
+                      op_close: bool = True,
+                      bridge: int = 1,
+                      cc_iters: int = 12,
+                      min_points: Optional[int] = None):
+    """Apply the clustering filter to a (T, H, W) saliency volume.
+
+    Reference behavior map (``smartVidCrop.py:1062-1161``):
+
+    - ``resize_factor`` / ``resize_type``: maps are shrunk by ``1/factor``
+      before clustering and scaled back bilinearly after.
+    - frames with ``<= min_points`` nonzero pixels (reference
+      ``hdbscan_min + 1``) pass through unfiltered.
+    - ``select_sum == 1`` keeps the cluster with the largest saliency sum,
+      otherwise the cluster containing the largest single value.
+    - ``op_close``: 5x5 morphological close of the surviving blob.
+
+    Returns float32 (T, H, W).
+    """
+    smaps = jnp.asarray(smaps).astype(jnp.float32)
+    t, h, w = smaps.shape
+    if min_points is None:
+        min_points = min_cluster_size + 1
+
+    method = RESIZE_TYPE_TO_METHOD.get(resize_type, 'linear')
+    work = smaps
+    if resize_factor != 1.0:
+        hh = int(round(h / resize_factor))
+        ww = int(round(w / resize_factor))
+        work = resize(smaps, (hh, ww), method)
+        # uint8 saturation parity with cv2's fixed-point resize output
+        work = jnp.clip(jnp.round(work), 0, 255)
+
+    filt = functools.partial(
+        _filter_one, min_cluster_size=min_cluster_size,
+        select_sum=select_sum, bridge=bridge, cc_iters=cc_iters)
+    filtered, any_valid, n_points = jax.vmap(filt)(work)
+
+    if op_close:
+        closed = morph_close(filtered, 5)
+        filtered = jnp.where(any_valid[:, None, None], closed, filtered)
+
+    # Pass-through conditions (per frame): too few points, or no cluster.
+    use_filtered = (n_points > min_points) & any_valid
+    out_small = jnp.where(use_filtered[:, None, None], filtered, work)
+
+    if resize_factor != 1.0:
+        out = resize(out_small, (h, w), 'linear')
+        out = jnp.clip(jnp.round(out), 0, 255)
+    else:
+        out = out_small
+    return out

@@ -8,11 +8,19 @@ module imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel) and its
+# sitecustomize imports jax at interpreter startup, so env vars are too late;
+# flip the config before the backend initializes instead.  Tests must run on
+# the 8-virtual-device CPU platform (tiny ops through the tunnel are
+# glacially slow and some linalg primitives hang there).
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
