@@ -143,8 +143,7 @@ class ConvGRU(nn.Module):
         scan = nn.scan(
             lambda mdl, carry, x: mdl(x, carry, source=source,
                                       drop_x=drop_x, drop_h=drop_h),
-            variable_broadcast='params',
-            variable_carry='batch_stats',
+            variable_broadcast=('params', 'batch_stats'),
             split_rngs={'params': False},
             in_axes=1, out_axes=1)
         h_final, outputs = scan(cell, h0, xs)

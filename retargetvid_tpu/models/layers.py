@@ -31,19 +31,27 @@ class DomainBN(nn.Module):
     """Domain-specific BatchNorm: one set of statistics per source.
 
     The active source arrives as a static string, so XLA sees a single BN —
-    no runtime dispatch (reference keeps N modules and dispatches in Python).
+    no runtime dispatch (reference keeps N modules and dispatches in Python,
+    ``unisal/model.py:65-101``).  All sources' parameters are created eagerly
+    in setup so weight conversion sees the full tree.
     """
     sources: Sequence[str] = DEFAULT_SOURCES
     use_running_average: bool = True
 
-    @nn.compact
+    def setup(self):
+        for src in self.sources:
+            setattr(self, f'bn_{src.lower()}', nn.BatchNorm(
+                use_running_average=self.use_running_average,
+                momentum=0.99, epsilon=1e-5))
+
     def __call__(self, x, source: str = 'DHF1K'):
         if source not in self.sources:
             raise ValueError(f'unknown source {source!r}')
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.99, epsilon=1e-5,
-            name=f'bn_{source.lower()}')(x)
+        # Apply every source's BN and select statically: inactive branches
+        # exist so their params materialize (linen creates submodule params
+        # only on use); XLA dead-code-eliminates their compute.
+        outs = {s: getattr(self, f'bn_{s.lower()}')(x) for s in self.sources}
+        return outs[source]
 
 
 def make_bn(ds_bn: bool, sources, use_running_average: bool = True):

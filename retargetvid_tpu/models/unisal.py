@@ -172,10 +172,15 @@ class UNISAL(nn.Module):
             feat_4x, source, deterministic)
 
         if self.n_gaussians > 0:
-            gsuf = self._suffix(self.ds_gaussians, source)
-            gaussians = self.param(
-                f'coarse_gaussians{gsuf}',
-                lambda key: jnp.asarray(manual_gaussian_init()))
+            # Create every source's Gaussians (reference builds all at
+            # construction, model.py:249-254); use the active one.
+            suffixes = ([f'_{s.lower()}' for s in self.sources]
+                        if self.ds_gaussians else [''])
+            all_gaussians = {
+                suf: self.param(f'coarse_gaussians{suf}',
+                                lambda key: jnp.asarray(manual_gaussian_init()))
+                for suf in suffixes}
+            gaussians = all_gaussians[self._suffix(self.ds_gaussians, source)]
             priors = gaussian_prior_maps(
                 gaussians, feat_1x.shape[1:3])            # (h, w, G)
             priors = jnp.broadcast_to(
@@ -202,30 +207,44 @@ class UNISAL(nn.Module):
 
         # Decoder.
         up = feat_1x
-        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear')
+        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear',
+                    channels_last=True)
         up = jnp.concatenate([up, feat_2x], axis=-1)
         up = InvertedResidual(
             up.shape[-1], 128, 1, 2, sources=self.sources,
             ds_bn=self.ds_bn, name='upsampling_2_inv_res')(up, source)
-        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear')
+        up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear',
+                    channels_last=True)
         up = jnp.concatenate([up, feat_4x], axis=-1)
         up = InvertedResidual(
             up.shape[-1], 64, 1, 2, sources=self.sources,
             ds_bn=self.ds_bn, name='post_upsampling_2_inv_res')(up, source)
 
         asuf = self._suffix(self.ds_adaptation, source)
-        up = nn.Conv(1, (1, 1), use_bias=True, name=f'adaptation{asuf}')(up)
+        adapt_sufs = ([f'_{s.lower()}' for s in self.sources]
+                      if self.ds_adaptation else [''])
+        # Apply every source's adaptation and keep the active one: the inert
+        # branches create their params (reference builds all at construction)
+        # and XLA dead-code-eliminates their compute.
+        adapted = {suf: nn.Conv(1, (1, 1), use_bias=True,
+                                name=f'adaptation{suf}')(up)
+                   for suf in adapt_sufs}
+        up = adapted[asuf]
 
         # Nearest resize to the network input size.
-        up = resize(up, (h, w), 'nearest')
+        up = resize(up, (h, w), 'nearest', channels_last=True)
 
         # Replicate pad + fixed-init Gaussian smoothing conv.
         ssuf = self._suffix(self.ds_smoothing, source)
         ksize = self.smoothing_ksize
         pad = ksize // 2
-        smooth_w = self.param(
-            f'smoothing{ssuf}',
-            lambda key: jnp.asarray(smoothing_kernel_init(ksize)))
+        smooth_sufs = ([f'_{s.lower()}' for s in self.sources]
+                       if self.ds_smoothing else [''])
+        smoothings = {
+            suf: self.param(f'smoothing{suf}',
+                            lambda key: jnp.asarray(smoothing_kernel_init(ksize)))
+            for suf in smooth_sufs}
+        smooth_w = smoothings[ssuf]
         padded = jnp.pad(up, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                          mode='edge')
         up = jax.lax.conv_general_dilated(
@@ -233,7 +252,7 @@ class UNISAL(nn.Module):
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
         # Bilinear resize to target size, then spatial log-softmax.
-        up = resize(up, target_size, 'linear')
+        up = resize(up, target_size, 'linear', channels_last=True)
         up = spatial_log_softmax(up)
 
         out = up.reshape(b, t, *up.shape[1:])

