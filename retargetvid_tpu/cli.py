@@ -1,0 +1,215 @@
+"""Command-line interface.
+
+Subcommands mirror the reference's entry points:
+
+- ``benchmark`` — the ``python smartVidCrop.py`` benchmark loop
+  (``smartVidCrop.py:2621-2846``): run every video in a directory at the
+  requested aspect ratios, write ``NNN_<ar>.txt`` + ``NNN_<ar>_info.txt`` per
+  video, and report inline IoU against the 6 annotators.
+- ``crop`` — smart-crop a single video (or reference-format ``.pkl``).
+- ``eval`` — the standalone ``retargetvid_eval.py`` evaluator.
+
+Model weights: pass ``--unisal-weights`` (torch ``weights_best.pth``) to run
+with the pretrained saliency model; without it a randomly initialized model
+is used (throughput benchmarking only — IoU numbers are meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import statistics
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from retargetvid_tpu.config import sc_init_crop_params, smart_crop_version
+
+
+def _build_models(args):
+    """Construct (transnet_fn, saliency_fn) with optional weights."""
+    import jax
+
+    from retargetvid_tpu.models.transnet import TransNetV1, predict_video_windows
+    from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+    variables = None
+    if args.unisal_weights:
+        import torch
+
+        from retargetvid_tpu.models.torch_import import load_unisal_variables
+        from retargetvid_tpu.models.unisal import UNISAL
+        sd = torch.load(args.unisal_weights, map_location='cpu')
+        if isinstance(sd, dict) and 'model_state_dict' in sd:
+            sd = sd['model_state_dict']
+        variables = load_unisal_variables(UNISAL(), sd)
+        print(f' loaded UNISAL weights from {args.unisal_weights}')
+    else:
+        print(' WARNING: no --unisal-weights; using random init '
+              '(throughput runs only)')
+    predictor = SaliencyPredictor(variables=variables, chunk=args.chunk)
+
+    model = TransNetV1()
+    if args.transnet_weights:
+        import pickle
+        with open(args.transnet_weights, 'rb') as fp:
+            params = pickle.load(fp)
+        print(f' loaded TransNet weights from {args.transnet_weights}')
+    else:
+        import jax.numpy as jnp
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+        print(' WARNING: no --transnet-weights; using random init')
+    apply_fn = jax.jit(lambda batch: model.apply(params, batch))
+
+    def transnet_fn(frames):
+        return predict_video_windows(apply_fn, frames)
+
+    return transnet_fn, predictor.predict
+
+
+def cmd_benchmark(args):
+    from retargetvid_tpu.eval.annotations import load_annotations, write_boxes_file
+    from retargetvid_tpu.eval.harness import benchmark_eval_boxes, iou_xyxy_inclusive
+    from retargetvid_tpu.pipeline.crop import smart_vid_crop
+
+    crop_params = sc_init_crop_params(use_best_settings=args.best_settings)
+    transnet_fn, saliency_fn = _build_models(args)
+
+    annots = None
+    if args.annotations:
+        annots = load_annotations(args.annotations,
+                                  extract_to=args.annotations_extract)
+
+    extensions = ('*.AVI', '*.avi', '*.MP4', '*.mp4', '*.MOV', '*.mov')
+    vid_paths = sorted(p for ext in extensions
+                       for p in glob.glob(os.path.join(args.videos, ext)))
+    print(f' Videos:: found {len(vid_paths)} videos in {args.videos}')
+
+    results_out = Path(args.out) / args.test_name
+    results_out.mkdir(parents=True, exist_ok=True)
+
+    ars = args.ratios.split(',')
+    for ar in ars:
+        crop_params = dict(crop_params)
+        crop_params['out_ratio'] = ar
+        for i, vid_path in enumerate(vid_paths):
+            vid_fn = Path(vid_path).stem
+            suffix = f"{vid_fn}_{ar.replace(':', '-')}"
+            txt = results_out / f'{suffix}.txt'
+            info = results_out / f'{suffix}_info.txt'
+            if txt.is_file() and info.is_file() and not args.replace_existing:
+                print(f' skipping {suffix}')
+                continue
+            print(f'\n video ({i + 1}/{len(vid_paths)}): {vid_path} [{ar}]')
+            vd, res = smart_vid_crop(
+                vid_path, crop_params,
+                final_vid_fn=str(results_out / suffix) if args.save_vid else '',
+                temp_path=args.temp_path, save_vid=args.save_vid,
+                transnet_fn=transnet_fn, saliency_fn=saliency_fn)
+            with open(info, 'w') as fp:
+                for k, v in res.items():
+                    fp.write(f'{k}:{v}\n')
+            write_boxes_file(txt, np.asarray(vd['bbs'], int))
+
+            # Inline eval (reference :2798-2836).
+            if annots is not None and vid_fn.isdigit():
+                vid_ind = int(vid_fn)
+                pred = benchmark_eval_boxes(np.asarray(vd['bbs'], int), ar)
+                user_means = []
+                for user in range(len(annots)):
+                    gt = annots[user][ar.replace(':', '-')][vid_ind]
+                    n = min(len(gt), len(pred))
+                    ious = iou_xyxy_inclusive(
+                        np.maximum(gt[:n], 0), np.maximum(pred[:n], 0))
+                    user_means.append(float(ious.mean()))
+                    print('   user #%d: %.3f' % (user + 1, user_means[-1]))
+                print('   mean   : %.3f' % statistics.mean(user_means))
+
+
+def cmd_crop(args):
+    from retargetvid_tpu.eval.annotations import write_boxes_file
+    from retargetvid_tpu.pipeline.crop import smart_vid_crop
+
+    crop_params = sc_init_crop_params(use_best_settings=args.best_settings)
+    crop_params['out_ratio'] = args.ratio
+    transnet_fn, saliency_fn = _build_models(args)
+    out = Path(args.out or (Path(args.video).stem + '_crop'))
+    vd, res = smart_vid_crop(
+        args.video, crop_params,
+        final_vid_fn=str(out) if args.save_vid else '',
+        demo_fn=str(out) + '_demo' if args.demo else '',
+        temp_path=args.temp_path, save_vid=args.save_vid,
+        transnet_fn=transnet_fn, saliency_fn=saliency_fn,
+        copy_sound=args.copy_sound)
+    write_boxes_file(str(out) + '.txt', np.asarray(vd['bbs'], int))
+    print(res['info'])
+    for k, v in res.items():
+        if k.startswith('t_'):
+            print('  %-22s %s' % (k, v))
+
+
+def cmd_eval(args):
+    from retargetvid_tpu.eval.annotations import load_annotations
+    from retargetvid_tpu.eval.harness import evaluate_results_tree
+
+    annots = load_annotations(args.annotations,
+                              extract_to=args.annotations_extract)
+    evaluate_results_tree(args.results, annots, output_file=args.out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog='retargetvid_tpu',
+        description=f'SmartVidCrop-TPU v{smart_crop_version()}')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    def add_model_args(sp):
+        sp.add_argument('--unisal-weights', default=os.environ.get(
+            'UNISAL_WEIGHTS', ''))
+        sp.add_argument('--transnet-weights', default=os.environ.get(
+            'TRANSNET_WEIGHTS', ''))
+        sp.add_argument('--chunk', type=int, default=32,
+                        help='saliency inference batch size')
+        sp.add_argument('--best-settings', action='store_true',
+                        help='ISM-2021 preset (use_best_settings=True)')
+        sp.add_argument('--temp-path', default=None,
+                        help='vid_data feature cache directory')
+
+    b = sub.add_parser('benchmark', help='RetargetVid benchmark loop')
+    add_model_args(b)
+    b.add_argument('--videos', default='DHF1k')
+    b.add_argument('--out', default='results')
+    b.add_argument('--test-name', default='default_config')
+    b.add_argument('--ratios', default='1:3,3:1')
+    b.add_argument('--annotations', default=None)
+    b.add_argument('--annotations-extract', default=None)
+    b.add_argument('--replace-existing', action='store_true')
+    b.add_argument('--save-vid', action='store_true')
+    b.set_defaults(fn=cmd_benchmark)
+
+    c = sub.add_parser('crop', help='smart-crop one video')
+    add_model_args(c)
+    c.add_argument('video')
+    c.add_argument('--ratio', default='4:5')
+    c.add_argument('--out', default=None)
+    c.add_argument('--save-vid', action='store_true')
+    c.add_argument('--demo', action='store_true')
+    c.add_argument('--copy-sound', action='store_true')
+    c.set_defaults(fn=cmd_crop)
+
+    e = sub.add_parser('eval', help='standalone results evaluator')
+    e.add_argument('results')
+    e.add_argument('--annotations', required=True)
+    e.add_argument('--annotations-extract', default=None)
+    e.add_argument('--out', default='eval_current.txt')
+    e.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,328 @@
+"""Video ingest: decode, shot detection, frame sampling, saliency volume.
+
+Behavioral parity with ``read_and_segment_video`` (``smartVidCrop.py:234-556``)
+and ``ingest_pickle`` (``:560-836``):
+
+- frames decode on a host thread and stream to the device in chunks;
+- both resizes (48x27 for TransNet, max-dim-250 for saliency) run on device
+  as matmuls in one jitted kernel per chunk;
+- shot probabilities come from batched TransNet windows per read batch, with
+  the reference's ``int(fps-5)``-frame overlap stitching (including its
+  zero-padded first batch and zero-filled partial tail);
+- frame sampling: every ``skip`` frames from the last selected, plus the
+  frame after each shot cut and the final frame;
+- scene list from thresholded probabilities with the boundary fix.
+
+Returns the ``vid_data`` dict (reference contract: ``smaps``,
+``segmentation``, ``segmentation_sel``, ``true_inds``, ``inds_to_orig``,
+``fr``, ``fc``, ``fc_sel``, ``h/w_orig``, ``h/w_process``) with ``smaps`` in
+(T, H, W) layout plus ``layout='thw'``.
+
+The reference's per-batch off-by-one (the last selected frame of each read
+batch never receives its saliency map, SURVEY.md §3.3) is deliberately FIXED
+here; the repair path (empty-center fill) still exists for genuinely empty
+maps.
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from retargetvid_tpu.ops.scenes import (
+    fix_scene_bounds,
+    predictions_to_scenes,
+    scenes_to_selected,
+)
+from retargetvid_tpu.utils.timing import sc_register_time
+
+__all__ = ["read_and_segment_video", "ingest_pickle", "sample_frames",
+           "TRANS_THRESHOLD", "TRANSNET_H", "TRANSNET_W"]
+
+TRANSNET_H = 27
+TRANSNET_W = 48
+#: Transition probability threshold (reference ``smartVidCrop.py:64``).
+TRANS_THRESHOLD = 0.1
+
+
+@functools.lru_cache(maxsize=8)
+def _resize_kernel(h: int, w: int, sal_h: int, sal_w: int):
+    import jax
+    import jax.numpy as jnp
+
+    from retargetvid_tpu.ops.resize import resize
+
+    def fn(frames):
+        x = jnp.asarray(frames)
+        tn = resize(x, (TRANSNET_H, TRANSNET_W), 'linear')
+        sal = resize(x, (sal_h, sal_w), 'linear')
+        to_u8 = lambda v: jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8)
+        return to_u8(tn), to_u8(sal)
+
+    return jax.jit(fn)
+
+
+def sal_dims(w: int, h: int, max_input_d: int):
+    """Saliency processing dims (reference ``smartVidCrop.py:252-254``)."""
+    dsr = float(max(w, h)) / max_input_d
+    return int(h / dsr), int(w / dsr)
+
+
+def sample_frames(n_frames: int, trans_probs: np.ndarray, skip: int,
+                  frame_count: int, start: int = 0,
+                  prev_true_inds: Optional[list] = None):
+    """Reference frame-selection rule over one batch (``:379-399``).
+
+    Selects frame si+i when it is exactly ``skip`` after the last selected
+    frame, or follows a frame whose transition probability exceeded the
+    threshold, or is the first frame ever, or the video's final frame.
+    Returns (selected_local_indices, true_inds_additions, map2orig_additions).
+    """
+    true_inds = prev_true_inds if prev_true_inds is not None else []
+    selected = []
+    map2orig = []
+    total = len(true_inds) - 1
+    for i in range(n_frames):
+        f = start + i
+        want = (f == true_inds[-1] + skip) if true_inds else True
+        # "after shot change" == previous frame's prob above threshold; this
+        # carries across read batches in the reference (:394-396).
+        after_shot_change = f > 0 and bool(
+            trans_probs[f - 1] > TRANS_THRESHOLD)
+        if want or after_shot_change or f == frame_count - 1:
+            total += 1
+            selected.append(i)
+            true_inds.append(f)
+        map2orig.append(total)
+    return selected, true_inds, map2orig
+
+
+def read_and_segment_video(video_path, crop_params: dict,
+                           transnet_fn: Callable,
+                           saliency_fn: Callable,
+                           verbose: bool = False) -> dict:
+    """Decode + shot detect + sample + saliency, streaming chunks to device.
+
+    ``transnet_fn``: (N, 27, 48, 3) uint8 -> (N,) probs (whole-buffer window
+    inference, e.g. ``models.transnet.predict_video_windows`` partial).
+    ``saliency_fn``: (T, SAL_H, SAL_W, 3) uint8 -> (T, SAL_H, SAL_W) uint8.
+    """
+    from retargetvid_tpu.io.video import VideoReader, probe_video
+
+    t0 = time.perf_counter()
+    info = probe_video(video_path)
+    fr, frame_count = info['fps'], info['frame_count']
+    w, h = info['width'], info['height']
+
+    batch_size = crop_params['read_batch']
+    batch_overlap = int(fr - 5)
+    skip = crop_params['skip']
+    sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
+    kernel = _resize_kernel(h, w, sal_h, sal_w)
+    sc_register_time(t0, 'read_init')
+
+    reader = VideoReader(video_path)
+    trans_buf = np.zeros((batch_size + batch_overlap,
+                          TRANSNET_H, TRANSNET_W, 3), np.uint8)
+    sal_buf = np.zeros((batch_size, sal_h, sal_w, 3), np.uint8)
+
+    trans_probs: list = []
+    true_inds: list = []
+    map2orig: list = []
+    smaps_parts: list = []
+
+    bsi = 0
+    batch_start = 0
+    total_read = 0
+    device_chunk = 256
+
+    t_read = time.perf_counter()
+    for chunk, cstart in reader.chunks(device_chunk):
+        tn, sal = kernel(chunk)
+        tn = np.asarray(tn)
+        sal = np.asarray(sal)
+        k = len(chunk)
+        total_read += k
+        pos = 0
+        while pos < k:
+            take = min(batch_size - bsi, k - pos)
+            trans_buf[batch_overlap + bsi:batch_overlap + bsi + take] = \
+                tn[pos:pos + take]
+            sal_buf[bsi:bsi + take] = sal[pos:pos + take]
+            bsi += take
+            pos += take
+            if bsi == batch_size:
+                _process_batch(trans_buf, sal_buf, bsi, batch_start,
+                               batch_overlap, frame_count, skip,
+                               transnet_fn, saliency_fn,
+                               trans_probs, true_inds, map2orig, smaps_parts,
+                               is_first=(batch_start == 0))
+                # Carry the batch's last `overlap` frames as the next
+                # batch's shot context (reference :354-358).
+                if batch_overlap > 0:
+                    trans_buf[:batch_overlap] = trans_buf[
+                        batch_size:batch_size + batch_overlap].copy()
+                batch_start += batch_size
+                bsi = 0
+                trans_buf[batch_overlap:] = 0
+                sal_buf[:] = 0
+    sc_register_time(t_read, '_read')
+    reader.stop()
+
+    if bsi > 0:
+        _process_batch(trans_buf, sal_buf, bsi, batch_start, batch_overlap,
+                       frame_count, skip, transnet_fn, saliency_fn,
+                       trans_probs, true_inds, map2orig, smaps_parts,
+                       is_first=(batch_start == 0))
+
+    true_frame_count = total_read
+
+    t_tidy = time.perf_counter()
+    smaps = np.concatenate(smaps_parts, axis=0) if smaps_parts else \
+        np.zeros((0, sal_h, sal_w), np.uint8)
+
+    segmentation = predictions_to_scenes(np.array(trans_probs),
+                                         threshold=TRANS_THRESHOLD)
+    segmentation = fix_scene_bounds(segmentation, true_frame_count)
+    segmentation_sel = scenes_to_selected(segmentation, map2orig)
+
+    vid_data = {
+        'layout': 'thw',
+        'smaps': smaps,
+        'segmentation': segmentation,
+        'segmentation_sel': segmentation_sel,
+        'true_inds': true_inds,
+        'inds_to_orig': map2orig,
+        'fr': fr,
+        'fc': true_frame_count,
+        'fc_sel': smaps.shape[0],
+        'h_orig': h, 'w_orig': w,
+        'h_process': sal_h, 'w_process': sal_w,
+    }
+    _sanity_checks(vid_data, frame_count)
+    sc_register_time(t_tidy, 'read_tidy')
+    return vid_data
+
+
+def _process_batch(trans_buf, sal_buf, cur_len, batch_start, batch_overlap,
+                   frame_count, skip, transnet_fn, saliency_fn,
+                   trans_probs, true_inds, map2orig, smaps_parts,
+                   is_first: bool):
+    """Shot-detect + sample + saliency for one read batch."""
+    t = time.perf_counter()
+    # The reference predicts over its full zero-initialized buffer
+    # (smartVidCrop.py:369); only windows within ~75 frames of the data can
+    # influence the probs we read, so trim the zero tail to that horizon —
+    # identical probabilities, far less work for short clips.
+    horizon = min(len(trans_buf), batch_overlap + cur_len + 75)
+    probs = np.asarray(transnet_fn(trans_buf[:horizon]))
+    for i in range(cur_len):
+        trans_probs.append(float(probs[batch_overlap + i]))
+    sc_register_time(t, '_read_shot_det')
+
+    t = time.perf_counter()
+    selected, _, m2o = sample_frames(
+        cur_len, np.array(trans_probs), skip, frame_count,
+        start=batch_start, prev_true_inds=true_inds)
+    map2orig.extend(m2o)
+    if selected:
+        sel_frames = sal_buf[np.array(selected)]
+        smaps_parts.append(np.asarray(saliency_fn(sel_frames)))
+    sc_register_time(t, '_read_sal_det')
+
+
+def _sanity_checks(vd: dict, frame_count: int):
+    """The reference's seven structural invariants (``:519-545``), raising."""
+    problems = []
+    if vd['fc'] > frame_count:
+        problems.append('fc exceeds container frame count')
+    if vd['fc_sel'] != len(vd['true_inds']):
+        problems.append('fc_sel != len(true_inds)')
+    if vd['fc'] != len(vd['inds_to_orig']):
+        problems.append('fc != len(inds_to_orig)')
+    if vd['fc_sel'] != vd['smaps'].shape[0]:
+        problems.append('fc_sel != smaps frames')
+    if vd['segmentation'][-1][-1] != vd['fc'] - 1:
+        problems.append('segmentation end mismatch')
+    if vd['segmentation_sel'][-1][-1] != vd['fc_sel'] - 1:
+        problems.append('segmentation_sel end mismatch')
+    if vd['inds_to_orig'][-1] != vd['fc_sel'] - 1:
+        problems.append('inds_to_orig tail mismatch')
+    if problems:
+        raise ValueError('ingest sanity checks failed: ' + '; '.join(problems))
+
+
+def ingest_pickle(pkl_path, crop_params: dict,
+                  saliency_fn: Callable, verbose: bool = False) -> dict:
+    """Ingest the reference's web-service pickle contract (``:560-836``).
+
+    The pickle holds ``fr``, ``frame_count``, ``w``, ``h``, ``frames``
+    (decoded RGB uint8) and precomputed ``trans_inds`` shot-cut indices —
+    TransNet is skipped.
+    """
+    import jax.numpy as jnp
+
+    with open(pkl_path, 'rb') as fp:
+        data = pickle.load(fp)
+    fr = data['fr']
+    frame_count = int(data['frame_count'])
+    w, h = int(data['w']), int(data['h'])
+    frames = np.asarray(data['frames'])
+    trans_inds = list(data.get('trans_inds', []))
+    skip = crop_params['skip']
+
+    sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
+    kernel = _resize_kernel(frames.shape[1], frames.shape[2], sal_h, sal_w)
+    _, sal_frames = kernel(frames)
+    sal_frames = np.asarray(sal_frames)
+
+    n = len(frames)
+    probs = np.zeros(n, np.float32)
+    for ti in trans_inds:
+        if 0 <= ti < n:
+            probs[ti] = 1.0
+
+    selected, true_inds, map2orig = sample_frames(
+        n, probs, skip, n, start=0, prev_true_inds=None)
+    smaps = np.asarray(saliency_fn(sal_frames[np.array(selected)]))
+
+    segmentation = predictions_to_scenes(probs, threshold=TRANS_THRESHOLD)
+    segmentation = fix_scene_bounds(segmentation, n)
+    segmentation_sel = scenes_to_selected(segmentation, map2orig)
+
+    vid_data = {
+        'layout': 'thw',
+        'smaps': smaps,
+        'segmentation': segmentation,
+        'segmentation_sel': segmentation_sel,
+        'true_inds': true_inds,
+        'inds_to_orig': map2orig,
+        'fr': fr,
+        'fc': n,
+        'fc_sel': smaps.shape[0],
+        'h_orig': h, 'w_orig': w,
+        'h_process': sal_h, 'w_process': sal_w,
+    }
+    _sanity_checks(vid_data, frame_count)
+    return vid_data
+
+
+def load_vid_data(path) -> dict:
+    """Load a cached ``vid_data`` pickle; accepts the reference's (H, W, T)
+    smaps layout and converts to (T, H, W)."""
+    with open(path, 'rb') as fp:
+        vd = pickle.load(fp)
+    if vd.get('layout') != 'thw':
+        vd['smaps'] = np.moveaxis(vd['smaps'], -1, 0)
+        vd['layout'] = 'thw'
+    return vd
+
+
+def save_vid_data(path, vd: dict) -> None:
+    with open(path, 'wb') as fp:
+        pickle.dump(vd, fp)

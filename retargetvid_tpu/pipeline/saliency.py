@@ -1,0 +1,119 @@
+"""Saliency inference wrapper: fused on-device preprocessing + UNISAL.
+
+Reference path (``unisal/train.py:1255-1279`` + ``unisal/data.py:1241-1313``):
+per frame, PIL-LANCZOS resize to a x32 grid, ToTensor, ImageNet normalize,
+single-frame static forward, exp, per-frame max-normalize to uint8.
+
+TPU design: the resize is the Lanczos matmul from ``ops.resize`` and fuses
+with the normalize and the backbone's first conv inside one jit; frames batch
+across the clip (vmap semantics via a leading batch axis) instead of the
+reference's one-frame-at-a-time loop.  Chunks are bucketized so at most a
+couple of program shapes compile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retargetvid_tpu.models.unisal import UNISAL
+from retargetvid_tpu.ops.resize import resize
+
+__all__ = ["get_optimal_out_size", "preprocess_frames", "SaliencyPredictor",
+           "IMAGENET_MEAN", "IMAGENET_STD"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def get_optimal_out_size(img_size: Tuple[int, int]) -> Tuple[int, int]:
+    """Pick the x32 network input grid best matching the aspect ratio.
+
+    Parity with reference ``unisal/data.py:1086-1103``: (n1, n2) in [7,13]^2
+    with 100 <= n1*n2 <= 120 maximizing aspect similarity, times 32.
+    """
+    ar = img_size[0] / img_size[1]
+    best, best_ratio = None, -1.0
+    for n1 in range(7, 14):
+        for n2 in range(7, 14):
+            if 100 <= n1 * n2 <= 120:
+                this_ar = n1 / n2
+                ratio = min(ar, this_ar) / max(ar, this_ar)
+                if ratio > best_ratio:
+                    best_ratio = ratio
+                    best = (n1, n2)
+    return (best[0] * 32, best[1] * 32)
+
+
+def preprocess_frames(frames, out_size: Tuple[int, int]):
+    """uint8 (B, H, W, 3) -> normalized float32 (B, h, w, 3), on device.
+
+    LANCZOS resize (PIL semantics incl. the uint8 rounding PIL applies before
+    ToTensor), /255, ImageNet normalize.
+    """
+    x = resize(jnp.asarray(frames), out_size, 'lanczos')
+    x = jnp.clip(jnp.round(x), 0, 255) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std
+
+
+class SaliencyPredictor:
+    """Batched static-mode UNISAL inference producing uint8 saliency maps.
+
+    ``predict(frames)``: uint8 (T, H, W, 3) RGB -> uint8 (T, H, W) maps with
+    the reference's per-frame exp + max-normalize postprocessing
+    (``train.py:1267-1274``).
+    """
+
+    def __init__(self, variables=None, model: Optional[UNISAL] = None,
+                 source: str = 'SALICON', chunk: int = 32,
+                 dtype=jnp.float32, rng_seed: int = 0):
+        self.model = model or UNISAL()
+        self.source = source
+        self.chunk = chunk
+        self.dtype = dtype
+        if variables is None:
+            x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
+                                        static=True)
+        self.variables = variables
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, batch: int, in_hw: Tuple[int, int],
+                  net_hw: Tuple[int, int]):
+        model = self.model
+        variables = self.variables
+        source = self.source
+
+        def fn(frames):
+            x = preprocess_frames(frames, net_hw).astype(self.dtype)
+            x = x[:, None]                          # (B, T=1, h, w, 3)
+            logp, _ = model.apply(variables, x, target_size=in_hw,
+                                  source=source, static=True)
+            p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
+            mx = jnp.max(p, axis=(1, 2), keepdims=True)
+            p = jnp.where(mx > 0, p / mx, p) * 255.0
+            return p.astype(jnp.uint8)
+
+        return jax.jit(fn)
+
+    def predict(self, frames: np.ndarray) -> np.ndarray:
+        """Run saliency over (T, H, W, 3) uint8 frames -> (T, H, W) uint8."""
+        t, h, w, _ = frames.shape
+        net_hw = get_optimal_out_size((h, w))
+        fn = self._compiled(self.chunk, (h, w), net_hw)
+        out = np.empty((t, h, w), np.uint8)
+        for s in range(0, t, self.chunk):
+            e = min(t, s + self.chunk)
+            batch = frames[s:e]
+            if e - s < self.chunk:                  # pad ragged tail
+                pad = np.repeat(batch[-1:], self.chunk - (e - s), axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            maps = np.asarray(fn(jnp.asarray(batch)))
+            out[s:e] = maps[:e - s]
+        return out
