@@ -158,6 +158,13 @@ def parse_info_stats(run_dir, vid_inds=VID_INDS) -> dict:
     return stats
 
 
+def _agg(values):
+    """(max, mean) with the reference's -1 placeholder when absent."""
+    if not values:
+        return -1.0, -1.0
+    return max(values), statistics.mean(values)
+
+
 def evaluate_results_tree(results_dir, annots,
                           output_file='eval_current.txt',
                           vid_inds=VID_INDS,
@@ -165,25 +172,42 @@ def evaluate_results_tree(results_dir, annots,
     """Evaluate every run directory under ``results_dir``.
 
     Drop-in equivalent of running ``retargetvid_eval.py <results_dir>``:
-    scores each subdirectory, prints the CSV table, writes ``eval_current.txt``.
-    Returns ``{run_name: score_run(...) result}``.
+    scores each subdirectory, prints the CSV table with the reference's
+    column set (Worst/Best/Mean IoU per aspect ratio, plus the timing and
+    cut-count aggregates parsed from ``_info.txt`` — ttm/tta = max/avg total
+    time %, tcm/tca = clustering time, ccm/cca = clustering cuts, ecm/eca =
+    extra cuts, mf = missing files; ``retargetvid_eval.py:226-283``), and
+    writes ``eval_current.txt``.  Returns ``{run_name: scores}``.
     """
     results_dir = Path(results_dir)
     runs = sorted(p.name for p in results_dir.iterdir() if p.is_dir())
     evals = {}
     lines = []
-    header = ('%-36s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s,%-6s' %
-              ('Method', 'Worst', 'Best', 'Mean',
-               'Worst', 'Best', 'Mean', 'mf', 'mf'))
+    cols = ('Worst', 'Best', 'Mean', 'ttm', 'tta', 'tcm', 'tca',
+            'ccm', 'cca', 'ecm', 'eca')
+    header = '%-36s,' % 'Method' + ','.join(
+        ['%-6s' % c for c in cols] * 2 + ['%-6s' % 'mf'])
     lines.append(header)
     for run in runs:
         scores = score_run(results_dir / run, annots, vid_inds)
+        stats = parse_info_stats(results_dir / run, vid_inds)
         evals[run] = scores
+        evals[run]['info_stats'] = stats
         row = '%-36s,' % run
         missing_total = 0
         for ar in ASPECT_RATIOS:
             s = scores[ar]
-            row += '%05.3f,%05.3f,%05.3f,' % (s['worst'], s['best'], s['mean'])
+            st = stats.get(ar, {})
+            ttm, tta = _agg(st.get('t_total', []))
+            tcm, tca = _agg(st.get('t__clustering',
+                                   st.get('t__geometry', [])))
+            ccm, cca = _agg(st.get('cuts_clust', []))
+            ecm, eca = _agg(st.get('cuts_extra', []))
+            row += ('%05.3f,%05.3f,%05.3f,'
+                    '%05.3f,%05.3f,%05.3f,%05.3f,'
+                    '%05.3f,%05.3f,%05.3f,%05.3f,') % (
+                s['worst'], s['best'], s['mean'],
+                ttm, tta, tcm, tca, ccm, cca, ecm, eca)
             missing_total += s['missing_files']
         row += '%d' % missing_total
         lines.append(row)

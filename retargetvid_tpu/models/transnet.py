@@ -70,30 +70,39 @@ def predict_video_windows(apply_fn, frames, window: int = 100,
                           batch_windows: int = 64):
     """Sliding-window shot predictions over a whole clip, batched.
 
-    ``frames``: (N, 27, 48, 3) uint8.  Reproduces the reference's window
-    plan (edge padding by 25 front / 25..74 back, stride 50, keep the middle
-    [25:75) of each window — ``transnetv1_handler.py:105-130``) but evaluates
-    all windows as ONE batch on the MXU.
+    ``frames``: (N, 27, 48, 3) uint8, numpy or device-resident.  Reproduces
+    the reference's window plan (edge padding by 25 front / 25..74 back,
+    stride 50, keep the middle [25:75) of each window —
+    ``transnetv1_handler.py:105-130``) but evaluates all windows as ONE MXU
+    batch, with the window gather on device (no host copies).
 
     ``apply_fn``: callable (B, T, H, W, 3) -> (B, T) probabilities.
     Returns (N,) float32 numpy array.
     """
-    frames = np.asarray(frames)
+    frames = jnp.asarray(frames)
     n = len(frames)
     pad_start = keep[0]
     rem = n % stride
     pad_end = keep[0] + stride - (rem if rem != 0 else stride)
-    padded = np.concatenate(
-        [np.repeat(frames[:1], pad_start, axis=0), frames,
-         np.repeat(frames[-1:], pad_end, axis=0)], axis=0)
+    padded = jnp.concatenate(
+        [jnp.repeat(frames[:1], pad_start, axis=0), frames,
+         jnp.repeat(frames[-1:], pad_end, axis=0)], axis=0)
 
-    starts = list(range(0, len(padded) - window + 1, stride))
-    windows = np.stack([padded[s:s + window] for s in starts])
+    starts = np.arange(0, len(padded) - window + 1, stride)
+    n_w = len(starts)
+    # Bucket the window count (multiples of 8) so varying clip lengths do
+    # not trigger a recompile per video; padded windows replicate the last
+    # start and their predictions are discarded.
+    n_w_pad = min(-(-n_w // 8) * 8, batch_windows) if n_w <= batch_windows \
+        else -(-n_w // batch_windows) * batch_windows
+    starts_pad = np.concatenate(
+        [starts, np.full(n_w_pad - n_w, starts[-1], starts.dtype)])
+    idx = jnp.asarray(starts_pad[:, None] + np.arange(window)[None, :])
+    windows = padded[idx]                       # (n_w_pad, window, H, W, 3)
 
     probs = []
-    for i in range(0, len(windows), batch_windows):
-        batch = jnp.asarray(windows[i:i + batch_windows])
-        p = np.asarray(apply_fn(batch))
+    for i in range(0, n_w_pad, batch_windows):
+        p = apply_fn(windows[i:i + batch_windows])
         probs.append(p[:, keep[0]:keep[1]])
-    probs = np.concatenate(probs, axis=0).reshape(-1)
-    return probs[:n]
+    probs = jnp.concatenate(probs, axis=0)[:n_w].reshape(-1)
+    return np.asarray(probs[:n])

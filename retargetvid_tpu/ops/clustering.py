@@ -9,9 +9,10 @@ pixels survive — with a vectorizable equivalent:
 
 1. Binary mask of nonzero pixels, optionally dilated by ``bridge`` pixels to
    emulate HDBSCAN's density linking of nearby blobs.
-2. Connected components by min-label propagation with pointer jumping
-   (O(log diameter) rounds of 3x3 min-pool + two gather hops) — a classic
-   parallel CCL formulation that maps onto the VPU.
+2. Connected components by gather-free line relaxation: 3x3 min-pool for
+   diagonal hops + segmented cumulative-min scans along full rows/columns
+   (see :func:`connected_components`) — arbitrary gathers measured ~150x
+   slower than scans on v5e, so the classic pointer-jumping CCL is avoided.
 3. Per-component mass (sum or max of saliency, matching ``select_sum``) via
    one scatter-add/scatter-max into an (H*W,) table.
 4. Components with fewer than ``min_cluster_size`` member pixels are noise
@@ -49,32 +50,56 @@ def _min_pool3(x):
         [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
 
 
+def _segmented_cummin(vals, reset, axis: int, reverse: bool = False):
+    """Per-run cumulative min along ``axis``; runs reset where ``reset``.
+
+    Segmented-scan monoid over (value, reset-flag) pairs — an
+    ``associative_scan``, so it is log-depth VPU work with no gathers.
+    """
+    if reverse:
+        vals = jnp.flip(vals, axis)
+        reset = jnp.flip(reset, axis)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    out, _ = jax.lax.associative_scan(combine, (vals, reset), axis=axis)
+    if reverse:
+        out = jnp.flip(out, axis)
+    return out
+
+
 def connected_components(mask, n_iters: int = 12):
     """8-connected component labels of a boolean (H, W) mask.
 
     Returns int32 (H, W): each foreground pixel labeled with the smallest
     flat index of its component; background pixels get H*W.
 
-    ``n_iters`` rounds of (min-pool propagation + two pointer-jump hops)
-    give a reach that grows super-exponentially; 12 is enough for any
-    map up to thousands of pixels across.
+    TPU-native line relaxation: each sweep does one 3x3 masked min-pool
+    (diagonal hops) followed by segmented cumulative-min scans along full
+    rows and columns in both directions — a whole straight run converges in
+    ONE sweep, so a component needs roughly as many sweeps as its geodesic
+    has axis turns.  No gathers/scatters anywhere (arbitrary gathers measured
+    ~150x slower than scans on v5e).  ``n_iters`` sweeps; 8 handles any
+    realistic saliency blob (use more for adversarial spirals).
     """
     mask = jnp.asarray(mask, dtype=bool)
     h, w = mask.shape
-    bg = jnp.int32(h * w)
+    bg_val = jnp.int32(h * w)
     flat_idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    labels = jnp.where(mask, flat_idx, bg)
+    labels = jnp.where(mask, flat_idx, bg_val)
+    reset = ~mask
 
     def body(_, labels):
-        # Propagate the min label across the 8-neighborhood (foreground only).
         pooled = _min_pool3(labels)
-        labels = jnp.where(mask, jnp.minimum(labels, pooled), bg)
-        # Pointer jumping: follow the label chain two hops.
-        flat = labels.reshape(-1)
-        flat_ext = jnp.concatenate([flat, jnp.array([bg], jnp.int32)])
-        flat = flat_ext[flat]
-        flat = jnp.concatenate([flat, jnp.array([bg], jnp.int32)])[flat]
-        return jnp.where(mask, flat.reshape(h, w), bg)
+        labels = jnp.where(mask, jnp.minimum(labels, pooled), bg_val)
+        labels = _segmented_cummin(labels, reset, axis=1)
+        labels = _segmented_cummin(labels, reset, axis=1, reverse=True)
+        labels = _segmented_cummin(labels, reset, axis=0)
+        labels = _segmented_cummin(labels, reset, axis=0, reverse=True)
+        return jnp.where(mask, labels, bg_val)
 
     return jax.lax.fori_loop(0, n_iters, body, labels)
 

@@ -140,7 +140,7 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
             vd['segmentation_sel'], CP,
             fps=vd['fr'], h_orig=vd['h_orig'], w_orig=vd['w_orig'],
             w_final=vd['w_final'], h_final=vd['h_final'], fc=vd['fc'],
-            borders=borders)
+            borders=borders, fetch_maps=bool(demo_fn))
         sc_register_time(t, '_geometry')
         vd['bbs'] = geo['boxes'].tolist()
         vd['fbb_w'] = int(geo['fbb_w'])

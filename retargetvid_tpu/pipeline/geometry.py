@@ -266,7 +266,9 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
         'boxes': boxes,
         'fbb_w': fbb_w,
         'fbb_h': fbb_h,
-        'smaps_filtered': sm,
+        # All values are integral at this point (the reference stores the
+        # filtered maps back into its uint8 array); uint8 halves the payload.
+        'smaps_filtered': jnp.clip(sm, 0, 255).astype(jnp.uint8),
         'dx': cx, 'dy': cy,
         'jumps': jumps,
         'dxi': dxi, 'dyi': dyi,
@@ -285,17 +287,20 @@ def _compiled_pipeline(cfg: GeometryConfig, fps: float, h_orig: int,
     return jax.jit(fn)
 
 
-def run_geometry(smaps: np.ndarray, true_inds, segmentation,
+def run_geometry(smaps, true_inds, segmentation,
                  segmentation_sel, crop_params: dict, *,
                  fps: float, h_orig: int, w_orig: int,
                  w_final: int, h_final: int, fc: int,
                  borders=(0, 0, 0, 0),
-                 seg_bucket: int = 64) -> dict:
+                 seg_bucket: int = 64,
+                 fetch_maps: bool = False) -> dict:
     """Host entry: pad/bucketize the ingest outputs and run the jitted chain.
 
-    ``smaps``: (T_sel, H, W) uint8 saliency volume (selected frames).
-    ``segmentation``/``segmentation_sel``: (S, 2) int arrays.
-    Returns numpy dict with 'boxes' trimmed to ``fc`` frames.
+    ``smaps``: (T_sel, H, W) uint8 saliency volume (selected frames), numpy
+    OR a device array — device inputs stay resident (no host round trip; the
+    only hot-path host<->device traffic is the tiny crop-box/series output).
+    Set ``fetch_maps`` to also pull the filtered saliency volume (demo
+    rendering); it is the one large output.
     """
     cfg = GeometryConfig.from_crop_params(crop_params)
     t_sel = smaps.shape[0]
@@ -304,8 +309,10 @@ def run_geometry(smaps: np.ndarray, true_inds, segmentation,
     s = len(segmentation)
     s_pad = seg_bucket if s <= seg_bucket else bucket_size(s)
 
-    smaps_p = np.zeros((t_sel_pad,) + smaps.shape[1:], smaps.dtype)
-    smaps_p[:t_sel] = smaps
+    # Pad the volume on device (cheap) instead of materializing on host.
+    smaps_j = jnp.asarray(smaps)
+    if t_sel_pad != t_sel:
+        smaps_j = jnp.pad(smaps_j, ((0, t_sel_pad - t_sel), (0, 0), (0, 0)))
     sel_mask = np.zeros(t_sel_pad, bool)
     sel_mask[:t_sel] = True
     ti = np.zeros(t_sel_pad, np.int32)
@@ -321,7 +328,7 @@ def run_geometry(smaps: np.ndarray, true_inds, segmentation,
 
     fn = _compiled_pipeline(cfg, float(fps), int(h_orig), int(w_orig),
                             int(w_final), int(h_final), int(t_out))
-    out = fn(jnp.asarray(smaps_p), jnp.asarray(sel_mask),
+    out = fn(smaps_j, jnp.asarray(sel_mask),
              jnp.int32(t_sel), jnp.asarray(ti),
              jnp.asarray(pad_seg(segmentation, 0)),
              jnp.asarray(pad_seg(segmentation, 1)),
@@ -330,11 +337,13 @@ def run_geometry(smaps: np.ndarray, true_inds, segmentation,
              jnp.int32(s), jnp.int32(fc),
              jnp.int32(borders[0]), jnp.int32(borders[1]),
              jnp.int32(borders[2]), jnp.int32(borders[3]))
+    maps = out.pop('smaps_filtered')
     out = {k: np.asarray(v) for k, v in out.items()}
+    if fetch_maps:
+        out['smaps_filtered'] = np.asarray(maps)[:t_sel]
     out['boxes'] = out['boxes'][:fc]
     for k in ('dxi', 'dyi', 'dxs', 'dys', 'dxl', 'dyl'):
         out[k] = out[k][:fc]
     for k in ('dx', 'dy', 'jumps'):
         out[k] = out[k][:t_sel]
-    out['smaps_filtered'] = out['smaps_filtered'][:t_sel]
     return out

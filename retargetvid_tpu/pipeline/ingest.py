@@ -126,64 +126,75 @@ def read_and_segment_video(video_path, crop_params: dict,
     kernel = _resize_kernel(h, w, sal_h, sal_w)
     sc_register_time(t0, 'read_init')
 
+    import jax.numpy as jnp
+
     reader = VideoReader(video_path)
-    trans_buf = np.zeros((batch_size + batch_overlap,
-                          TRANSNET_H, TRANSNET_W, 3), np.uint8)
-    sal_buf = np.zeros((batch_size, sal_h, sal_w, 3), np.uint8)
 
     trans_probs: list = []
     true_inds: list = []
     map2orig: list = []
-    smaps_parts: list = []
+    smaps_parts: list = []          # device arrays; concatenated at the end
 
+    # Per-read-batch accumulation of device-resident resized chunks.
+    tn_parts: list = []
+    sal_parts: list = []
+    tn_overlap_tail = jnp.zeros((batch_overlap, TRANSNET_H, TRANSNET_W, 3),
+                                jnp.uint8) if batch_overlap > 0 else None
     bsi = 0
     batch_start = 0
     total_read = 0
     device_chunk = 256
 
+    def flush_batch(cur_len):
+        nonlocal tn_overlap_tail, batch_start, bsi, tn_parts, sal_parts
+        tn_batch = jnp.concatenate(tn_parts) if len(tn_parts) > 1 \
+            else tn_parts[0]
+        sal_batch = jnp.concatenate(sal_parts) if len(sal_parts) > 1 \
+            else sal_parts[0]
+        pieces = []
+        if batch_overlap > 0:
+            pieces.append(tn_overlap_tail)
+        pieces.append(tn_batch)
+        # Zero tail: the reference predicts over its zero-filled buffer;
+        # only ~75 trailing zero frames can influence the probs we keep.
+        pieces.append(jnp.zeros((75, TRANSNET_H, TRANSNET_W, 3), jnp.uint8))
+        tn_context = jnp.concatenate(pieces)
+        _process_batch(tn_context, sal_batch, cur_len, batch_start,
+                       batch_overlap, frame_count, skip,
+                       transnet_fn, saliency_fn,
+                       trans_probs, true_inds, map2orig, smaps_parts)
+        if batch_overlap > 0:
+            tn_overlap_tail = tn_batch[-batch_overlap:]
+        batch_start += cur_len
+        bsi = 0
+        tn_parts = []
+        sal_parts = []
+
     t_read = time.perf_counter()
     for chunk, cstart in reader.chunks(device_chunk):
-        tn, sal = kernel(chunk)
-        tn = np.asarray(tn)
-        sal = np.asarray(sal)
+        tn, sal = kernel(chunk)      # chunk lands on device once, stays there
         k = len(chunk)
         total_read += k
         pos = 0
         while pos < k:
             take = min(batch_size - bsi, k - pos)
-            trans_buf[batch_overlap + bsi:batch_overlap + bsi + take] = \
-                tn[pos:pos + take]
-            sal_buf[bsi:bsi + take] = sal[pos:pos + take]
+            tn_parts.append(tn[pos:pos + take])
+            sal_parts.append(sal[pos:pos + take])
             bsi += take
             pos += take
             if bsi == batch_size:
-                _process_batch(trans_buf, sal_buf, bsi, batch_start,
-                               batch_overlap, frame_count, skip,
-                               transnet_fn, saliency_fn,
-                               trans_probs, true_inds, map2orig, smaps_parts,
-                               is_first=(batch_start == 0))
-                # Carry the batch's last `overlap` frames as the next
-                # batch's shot context (reference :354-358).
-                if batch_overlap > 0:
-                    trans_buf[:batch_overlap] = trans_buf[
-                        batch_size:batch_size + batch_overlap].copy()
-                batch_start += batch_size
-                bsi = 0
-                trans_buf[batch_overlap:] = 0
-                sal_buf[:] = 0
+                flush_batch(batch_size)
     sc_register_time(t_read, '_read')
     reader.stop()
 
     if bsi > 0:
-        _process_batch(trans_buf, sal_buf, bsi, batch_start, batch_overlap,
-                       frame_count, skip, transnet_fn, saliency_fn,
-                       trans_probs, true_inds, map2orig, smaps_parts,
-                       is_first=(batch_start == 0))
+        flush_batch(bsi)
 
     true_frame_count = total_read
 
     t_tidy = time.perf_counter()
-    smaps = np.concatenate(smaps_parts, axis=0) if smaps_parts else \
+    smaps = (jnp.concatenate(smaps_parts) if len(smaps_parts) > 1
+             else smaps_parts[0]) if smaps_parts else \
         np.zeros((0, sal_h, sal_w), np.uint8)
 
     segmentation = predictions_to_scenes(np.array(trans_probs),
@@ -209,18 +220,20 @@ def read_and_segment_video(video_path, crop_params: dict,
     return vid_data
 
 
-def _process_batch(trans_buf, sal_buf, cur_len, batch_start, batch_overlap,
-                   frame_count, skip, transnet_fn, saliency_fn,
-                   trans_probs, true_inds, map2orig, smaps_parts,
-                   is_first: bool):
-    """Shot-detect + sample + saliency for one read batch."""
+def _process_batch(tn_context, sal_batch, cur_len, batch_start,
+                   batch_overlap, frame_count, skip, transnet_fn,
+                   saliency_fn, trans_probs, true_inds, map2orig,
+                   smaps_parts):
+    """Shot-detect + sample + saliency for one read batch (device-resident).
+
+    ``tn_context``: device (overlap + cur_len + 75, 27, 48, 3) — previous
+    batch tail + this batch + the reference's zero tail.
+    ``sal_batch``: device (cur_len, SAL_H, SAL_W, 3).
+    """
+    import jax.numpy as jnp
+
     t = time.perf_counter()
-    # The reference predicts over its full zero-initialized buffer
-    # (smartVidCrop.py:369); only windows within ~75 frames of the data can
-    # influence the probs we read, so trim the zero tail to that horizon —
-    # identical probabilities, far less work for short clips.
-    horizon = min(len(trans_buf), batch_overlap + cur_len + 75)
-    probs = np.asarray(transnet_fn(trans_buf[:horizon]))
+    probs = np.asarray(transnet_fn(tn_context))
     for i in range(cur_len):
         trans_probs.append(float(probs[batch_overlap + i]))
     sc_register_time(t, '_read_shot_det')
@@ -231,8 +244,8 @@ def _process_batch(trans_buf, sal_buf, cur_len, batch_start, batch_overlap,
         start=batch_start, prev_true_inds=true_inds)
     map2orig.extend(m2o)
     if selected:
-        sel_frames = sal_buf[np.array(selected)]
-        smaps_parts.append(np.asarray(saliency_fn(sel_frames)))
+        sel_frames = sal_batch[jnp.asarray(np.array(selected))]
+        smaps_parts.append(saliency_fn(sel_frames))
     sc_register_time(t, '_read_sal_det')
 
 
@@ -324,5 +337,7 @@ def load_vid_data(path) -> dict:
 
 
 def save_vid_data(path, vd: dict) -> None:
+    vd = dict(vd)
+    vd['smaps'] = np.asarray(vd['smaps'])     # device arrays don't pickle
     with open(path, 'wb') as fp:
         pickle.dump(vd, fp)

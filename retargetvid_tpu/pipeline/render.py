@@ -79,8 +79,10 @@ def render_demo(video_path, vid_data: dict, geometry: dict, out_path,
     info = probe_video(video_path)
     fps = fps or info['fps']
     boxes = np.asarray(geometry['boxes'], int)
-    smaps = vid_data['smaps']
+    smaps = np.asarray(vid_data['smaps'])
     filtered = geometry.get('smaps_filtered')
+    if filtered is not None:
+        filtered = np.asarray(filtered)
     inds_to_orig = vid_data['inds_to_orig']
     h, w = info['height'], info['width']
     panel_w = w // 2

@@ -102,18 +102,26 @@ class SaliencyPredictor:
 
         return jax.jit(fn)
 
-    def predict(self, frames: np.ndarray) -> np.ndarray:
-        """Run saliency over (T, H, W, 3) uint8 frames -> (T, H, W) uint8."""
+    def predict(self, frames, return_device: bool = False):
+        """Run saliency over (T, H, W, 3) uint8 frames -> (T, H, W) uint8.
+
+        ``frames`` may be numpy or a device array; device inputs stay
+        resident (chunk slicing happens on device) and with
+        ``return_device=True`` the maps are returned as a device array too —
+        the hot path then has zero host<->device traffic.
+        """
         t, h, w, _ = frames.shape
         net_hw = get_optimal_out_size((h, w))
         fn = self._compiled(self.chunk, (h, w), net_hw)
-        out = np.empty((t, h, w), np.uint8)
+        frames = jnp.asarray(frames)
+        chunks = []
         for s in range(0, t, self.chunk):
             e = min(t, s + self.chunk)
             batch = frames[s:e]
             if e - s < self.chunk:                  # pad ragged tail
-                pad = np.repeat(batch[-1:], self.chunk - (e - s), axis=0)
-                batch = np.concatenate([batch, pad], axis=0)
-            maps = np.asarray(fn(jnp.asarray(batch)))
-            out[s:e] = maps[:e - s]
-        return out
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], self.chunk - (e - s),
+                                       axis=0)], axis=0)
+            chunks.append(fn(batch)[:e - s])
+        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        return out if return_device else np.asarray(out)

@@ -18,7 +18,7 @@ def _blob(canvas, cy, cx, r, val):
 
 def test_connected_components_matches_scipy():
     mask = RNG.random((48, 64)) > 0.7
-    labels = np.asarray(connected_components(mask))
+    labels = np.asarray(connected_components(mask, n_iters=32))
     ref, n = ndimage.label(mask, structure=np.ones((3, 3)))
     # Same partition: map our root-index labels to scipy labels bijectively.
     ours_fg = labels[mask]
