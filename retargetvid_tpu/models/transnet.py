@@ -79,6 +79,7 @@ def predict_video_windows(apply_fn, frames, window: int = 100,
     ``apply_fn``: callable (B, T, H, W, 3) -> (B, T) probabilities.
     Returns (N,) float32 numpy array.
     """
+    assert window % stride == 0, 'window must be a stride multiple'
     frames = jnp.asarray(frames)
     n = len(frames)
     pad_start = keep[0]
@@ -88,17 +89,25 @@ def predict_video_windows(apply_fn, frames, window: int = 100,
         [jnp.repeat(frames[:1], pad_start, axis=0), frames,
          jnp.repeat(frames[-1:], pad_end, axis=0)], axis=0)
 
-    starts = np.arange(0, len(padded) - window + 1, stride)
-    n_w = len(starts)
+    # Window extraction WITHOUT gathers (arbitrary gathers are ~100x slower
+    # than reshapes on v5e): pad_start+pad_end always total a stride
+    # multiple, so the clip reshapes into `stride`-frame blocks and window i
+    # is the concatenation of blocks [i : i + window//stride].
+    m = window // stride
+    blocks = padded.reshape(-1, stride, *padded.shape[1:])
+    k = blocks.shape[0]
+    n_w = k - m + 1
     # Bucket the window count (multiples of 8) so varying clip lengths do
-    # not trigger a recompile per video; padded windows replicate the last
-    # start and their predictions are discarded.
+    # not trigger a recompile per video; padded windows are zero blocks and
+    # their predictions are discarded.
     n_w_pad = min(-(-n_w // 8) * 8, batch_windows) if n_w <= batch_windows \
         else -(-n_w // batch_windows) * batch_windows
-    starts_pad = np.concatenate(
-        [starts, np.full(n_w_pad - n_w, starts[-1], starts.dtype)])
-    idx = jnp.asarray(starts_pad[:, None] + np.arange(window)[None, :])
-    windows = padded[idx]                       # (n_w_pad, window, H, W, 3)
+    if n_w_pad > n_w:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((n_w_pad - n_w,) + blocks.shape[1:],
+                               blocks.dtype)], axis=0)
+    windows = jnp.concatenate(
+        [blocks[off:off + n_w_pad] for off in range(m)], axis=1)
 
     probs = []
     for i in range(0, n_w_pad, batch_windows):
