@@ -56,14 +56,13 @@ def main():
         predictions_to_scenes,
         scenes_to_selected,
     )
-    from retargetvid_tpu.pipeline.geometry import run_geometry
+    from retargetvid_tpu.pipeline.fused import FusedClipProgram
     from retargetvid_tpu.pipeline.ingest import (
         TRANS_THRESHOLD,
         _resize_kernel,
         sal_dims,
         sample_frames,
     )
-    from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
 
     fps = 30.0
     n_frames = 480
@@ -80,7 +79,7 @@ def main():
     tn_params = tn_model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
     tn_apply = jax.jit(lambda b: tn_model.apply(tn_params, b))
-    predictor = SaliencyPredictor(chunk=64, dtype=jnp.bfloat16)
+    clip_program = FusedClipProgram(dtype=jnp.bfloat16)
 
     dest = calc_dest_size(w, h, cp['out_ratio'])
 
@@ -104,18 +103,15 @@ def main():
         # Frame sampling (host, trivial).
         selected, true_inds, map2orig = sample_frames(
             n_frames, probs, cp['skip'], n_frames)
-        # Saliency on selected frames (device-resident gather + forward).
-        smaps = predictor.predict(sal_frames[jnp.asarray(selected)],
-                                  return_device=True)
         # Scenes.
         seg = fix_scene_bounds(
             predictions_to_scenes(probs, TRANS_THRESHOLD), n_frames)
         seg_sel = scenes_to_selected(seg, map2orig)
-        # Fused geometry chain (device in, tiny series out).
-        geo = run_geometry(smaps, true_inds, seg, seg_sel, cp,
-                           fps=fps, h_orig=h, w_orig=w,
-                           w_final=dest['w_final'], h_final=dest['h_final'],
-                           fc=n_frames)
+        # Gather + saliency + geometry: ONE fused program, one dispatch.
+        geo = clip_program.run(sal_frames, selected, true_inds, seg, seg_sel,
+                               cp, fps=fps, h_orig=h, w_orig=w,
+                               w_final=dest['w_final'],
+                               h_final=dest['h_final'], fc=n_frames)
         return geo['boxes']
 
     # Warmup (compilation) + timed runs.

@@ -1,0 +1,141 @@
+"""Fully-fused per-clip program: selected frames -> crop boxes in ONE jit.
+
+Chains the saliency model and the whole geometry pipeline inside a single
+XLA program: gather of the sampled frames, Lanczos preprocess, UNISAL static
+forward, per-frame max-normalize, border detection, pad-gate scores, and the
+threshold->cluster->center->interpolate->smooth->boxes chain.  One dispatch
+per clip (plus the TransNet/shot program) — on the tunneled dev TPU each
+dispatch costs ~25ms, and a clip otherwise needs ~15 of them.
+
+Shapes are bucketized on (selected-frame count, true-frame count); the
+sampling indices, segment tables and live counts are data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retargetvid_tpu.models.unisal import UNISAL
+from retargetvid_tpu.ops.border import border_detection, coverage_score, mean_saliency
+from retargetvid_tpu.pipeline.geometry import (
+    GeometryConfig,
+    bucket_size,
+    geometry_pipeline,
+)
+from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
+
+__all__ = ["FusedClipProgram"]
+
+
+class FusedClipProgram:
+    """Compile-once runner for the post-shot-detection clip pipeline."""
+
+    def __init__(self, variables=None, model: Optional[UNISAL] = None,
+                 source: str = 'SALICON', dtype=jnp.bfloat16,
+                 rng_seed: int = 0, t_border: int = -1):
+        self.model = model or UNISAL()
+        self.source = source
+        self.dtype = dtype
+        self.t_border = t_border
+        if variables is None:
+            x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
+                                        static=True)
+        self.variables = variables
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, t_sel_pad: int, t_out: int, s_pad: int,
+                  in_hw: Tuple[int, int], net_hw: Tuple[int, int],
+                  cfg: GeometryConfig, fps: float,
+                  h_orig: int, w_orig: int, w_final: int, h_final: int):
+        model, variables, source = self.model, self.variables, self.source
+        t_border = self.t_border
+
+        def fn(sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
+               seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+               n_segments, fc):
+            # Gather sampled frames (large contiguous rows -> efficient).
+            sel = sal_frames[sel_idx]
+            x = preprocess_frames(sel, net_hw).astype(self.dtype)
+            logp, _ = model.apply(variables, x[:, None], target_size=in_hw,
+                                  source=source, static=True)
+            p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
+            mx = jnp.max(p, axis=(1, 2), keepdims=True)
+            smaps = jnp.where(mx > 0, p / mx, p) * 255.0
+            smaps = smaps.astype(jnp.uint8).astype(jnp.float32)
+            smaps = jnp.where(sel_mask[:, None, None], smaps, 0.0)
+
+            borders = border_detection(smaps, t_border, h_orig, w_orig)
+            mean_sal, _ = mean_saliency(smaps)
+
+            out = geometry_pipeline(
+                smaps, sel_mask, fc_sel, true_inds,
+                seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+                n_segments, fc,
+                borders['border_t'], borders['border_b'],
+                borders['border_l'], borders['border_r'],
+                cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
+                w_final=w_final, h_final=h_final, t_out=t_out)
+            return {'boxes': out['boxes'], 'mean_sal': mean_sal,
+                    'dx': out['dx'], 'dy': out['dy'],
+                    'dxs': out['dxs'], 'dys': out['dys'],
+                    'dxi': out['dxi'], 'dyi': out['dyi'],
+                    'jumps': out['jumps'],
+                    'fbb_w': out['fbb_w'], 'fbb_h': out['fbb_h']}
+
+        return jax.jit(fn)
+
+    def run(self, sal_frames, selected, true_inds, segmentation,
+            segmentation_sel, crop_params: dict, *, fps: float,
+            h_orig: int, w_orig: int, w_final: int, h_final: int,
+            fc: int, seg_bucket: int = 64) -> dict:
+        """Execute on (T_all, H, W, 3) device-resident frames.
+
+        ``selected``: int indices of sampled frames; everything else as in
+        :func:`retargetvid_tpu.pipeline.geometry.run_geometry`.
+        """
+        cfg = GeometryConfig.from_crop_params(crop_params)
+        t_sel = len(selected)
+        t_sel_pad = bucket_size(t_sel)
+        t_out = bucket_size(fc)
+        s = len(segmentation)
+        s_pad = seg_bucket if s <= seg_bucket else bucket_size(s)
+        h, w = int(sal_frames.shape[1]), int(sal_frames.shape[2])
+        net_hw = get_optimal_out_size((h, w))
+
+        sel_idx = np.zeros(t_sel_pad, np.int32)
+        sel_idx[:t_sel] = np.asarray(selected, np.int32)
+        sel_mask = np.zeros(t_sel_pad, bool)
+        sel_mask[:t_sel] = True
+        ti = np.zeros(t_sel_pad, np.int32)
+        ti[:t_sel] = np.asarray(true_inds, np.int32)
+        if t_sel > 0:
+            ti[t_sel:] = ti[t_sel - 1] + np.arange(1, t_sel_pad - t_sel + 1)
+
+        def pad_seg(arr, col):
+            out = np.zeros(s_pad, np.int32)
+            out[:s] = np.asarray(arr, np.int32)[:, col]
+            return out
+
+        fn = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw, cfg,
+                            float(fps), int(h_orig), int(w_orig),
+                            int(w_final), int(h_final))
+        out = fn(sal_frames, jnp.asarray(sel_idx), jnp.asarray(sel_mask),
+                 jnp.int32(t_sel), jnp.asarray(ti),
+                 jnp.asarray(pad_seg(segmentation, 0)),
+                 jnp.asarray(pad_seg(segmentation, 1)),
+                 jnp.asarray(pad_seg(segmentation_sel, 0)),
+                 jnp.asarray(pad_seg(segmentation_sel, 1)),
+                 jnp.int32(s), jnp.int32(fc))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out['boxes'] = out['boxes'][:fc]
+        for k in ('dxi', 'dyi', 'dxs', 'dys'):
+            out[k] = out[k][:fc]
+        for k in ('dx', 'dy', 'jumps'):
+            out[k] = out[k][:t_sel]
+        return out
