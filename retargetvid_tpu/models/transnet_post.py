@@ -24,17 +24,16 @@ def smooth_predictions(predictions: np.ndarray, window: int = 5) -> np.ndarray:
 
 def scenes_from_predictions(predictions: np.ndarray,
                             threshold: float = 0.5) -> np.ndarray:
-    """[start, end] spans of below-threshold runs (transnet_utils variant:
-    every frame belongs to exactly one scene, transitions split scenes)."""
+    """Contiguous [start, end] scene spans (transnet_utils variant: every
+    frame belongs to exactly one scene; scenes split at each rising edge of
+    the thresholded transition signal)."""
     preds = (np.asarray(predictions) > threshold).astype(np.uint8)
-    scenes = []
-    start = 0
+    splits = [0]
     for i in range(1, len(preds)):
         if preds[i] == 1 and preds[i - 1] == 0:
-            scenes.append([start, i - 1])
-        if preds[i] == 0 and preds[i - 1] == 1:
-            start = i
-    scenes.append([start, len(preds) - 1])
+            splits.append(i)
+    splits.append(len(preds))
+    scenes = [[splits[k], splits[k + 1] - 1] for k in range(len(splits) - 1)]
     return np.array(scenes, dtype=np.int32)
 
 

@@ -158,6 +158,12 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
         vd['fbb_h'] = vd['h_final']
         vd['bbs'] = []
 
+    # Debug plots (reference sc_plot_signals / debug_preview, :2490-2506).
+    if plots_fn and not do_pad:
+        from retargetvid_tpu.utils.plots import plot_signals, plot_smoothing_preview
+        plot_signals(vd, plots_fn.replace('.png', '_signals.png'))
+        plot_smoothing_preview(vd, plots_fn)
+
     # Rendering (optional; reference :2536-2553).
     t = time.perf_counter()
     if save_vid and not str(video_path).endswith('.pkl'):

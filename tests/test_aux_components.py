@@ -1,0 +1,174 @@
+"""Auxiliary component tests: metrics, smoothers, post-processing, config,
+plots, measurement, timing registry."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+class TestSaliencyMetrics:
+    def test_auc_judd_perfect_and_chance(self):
+        from retargetvid_tpu.eval.saliency_metrics import auc_judd
+        rng = np.random.default_rng(0)
+        fix = np.zeros((20, 30))
+        fix[5, 5] = fix[10, 20] = 1
+        perfect = fix * 10.0 + rng.random((20, 30)) * 0.1
+        assert auc_judd(perfect, fix) > 0.95
+        chance = rng.random((20, 30))
+        assert 0.2 < auc_judd(chance, fix) < 0.85
+
+    def test_sim_bounds(self):
+        from retargetvid_tpu.eval.saliency_metrics import sim
+        rng = np.random.default_rng(1)
+        a = rng.random((10, 10))
+        assert sim(a, a) == pytest.approx(1.0)
+        b = np.zeros((10, 10))
+        b[0, 0] = 1
+        c = np.zeros((10, 10))
+        c[9, 9] = 1
+        assert sim(b, c) == pytest.approx(0.0)
+
+    def test_auc_shuffled(self):
+        from retargetvid_tpu.eval.saliency_metrics import auc_shuffled
+        rng = np.random.default_rng(2)
+        fix = np.zeros((20, 30))
+        fix[4, 6] = 1
+        other = np.zeros((20, 30))
+        other[15, 25] = other[2, 2] = 1
+        sal = np.zeros((20, 30))
+        sal[4, 6] = 1.0
+        assert auc_shuffled(sal, fix, other) > 0.9
+
+
+class TestSmoothSequence:
+    def test_median_window(self):
+        from retargetvid_tpu.utils.sequence import smooth_sequence
+        seq = np.zeros((1, 7, 1, 4, 4), np.float32)
+        seq[0, 3] = 100.0   # single outlier frame
+        out = smooth_sequence(seq, 'med3')
+        assert out[0, 3].max() == 0.0   # median of (0, 100, 0) is 0
+        np.testing.assert_array_equal(
+            smooth_sequence(seq, 'med1'), seq)
+
+
+class TestTransnetPost:
+    def test_scene_assembly_and_min_length(self):
+        from retargetvid_tpu.models.transnet_post import (
+            assert_segmentation,
+            shots_from_predictions,
+        )
+        preds = np.zeros(100)
+        preds[50] = 1.0
+        preds[55] = 1.0   # would create a 4-frame shot -> merged
+        scenes = shots_from_predictions(preds, 0.5, min_shot_len=12)
+        assert_segmentation(scenes, 100)
+        lens = scenes[:, 1] - scenes[:, 0] + 1
+        assert (lens >= 12).all()
+
+    def test_smooth_predictions(self):
+        from retargetvid_tpu.models.transnet_post import smooth_predictions
+        p = np.zeros(20)
+        p[10] = 1.0
+        s = smooth_predictions(p, 5)
+        assert s[10] == pytest.approx(0.2)
+        assert s.sum() == pytest.approx(1.0)
+
+
+class TestKwConfig:
+    def test_roundtrip(self, tmp_path):
+        from retargetvid_tpu.train.trainer import Trainer
+        tr = Trainer(num_epochs=3, lr=0.5, steps_per_epoch=7)
+        tr.save_cfg(tmp_path)
+        cfg = json.loads((tmp_path / 'Trainer.json').read_text())
+        assert cfg['num_epochs'] == 3
+        assert cfg['lr'] == 0.5
+        tr2 = Trainer.init_from_cfg_dir(tmp_path)
+        assert tr2.num_epochs == 3
+        assert tr2.steps_per_epoch == 7
+
+
+class TestTimingRegistry:
+    def test_rollup_and_format(self):
+        import time
+
+        from retargetvid_tpu.utils.timing import (
+            sc_all_times,
+            sc_init_time,
+            sc_register_time,
+            sc_save_time_override,
+        )
+        sc_init_time()
+        t0 = time.perf_counter() - 1.0   # pretend 1s elapsed
+        sc_register_time(t0, '_stage_a')
+        sc_save_time_override('_stage_b', 2.0)
+        sc_save_time_override('aux', 0.5)
+        out = sc_all_times(vid_dur=10.0)
+        assert set(out) == {'_stage_a', '_stage_b', 'aux', 'total'}
+        # format: "<sec>s, <percent>%"
+        assert out['_stage_b'] == '  2.000s, 20.000%'
+        total_sec = float(out['total'].split('s')[0])
+        assert total_sec == pytest.approx(3.0, abs=0.1)
+
+
+class TestMeasure:
+    def test_model_size(self):
+        import jax
+        import jax.numpy as jnp
+
+        from retargetvid_tpu.models.transnet import TransNetV1
+        from retargetvid_tpu.train.measure import measure_model_size
+        m = TransNetV1(f=2, d=16)
+        params = m.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, 27, 48, 3), jnp.uint8))
+        info = measure_model_size(params)
+        assert info['n_params'] > 1000
+        assert info['bytes'] == info['n_params'] * 4
+
+
+class TestPlots:
+    def test_signal_plots_render(self, tmp_path):
+        from retargetvid_tpu.utils.plots import (
+            plot_cluster_scatter,
+            plot_signals,
+            plot_smoothing_preview,
+        )
+        rng = np.random.default_rng(0)
+        vd = {'dxi': rng.random(50), 'dyi': rng.random(50),
+              'dxs': rng.random(50), 'dys': rng.random(50),
+              'dxl': rng.random(50), 'dyl': rng.random(50),
+              'segmentation': np.array([[0, 24], [25, 49]])}
+        p1 = tmp_path / 'sig.png'
+        plot_signals(vd, str(p1))
+        assert p1.stat().st_size > 0
+        p2 = tmp_path / 'prev.png'
+        plot_smoothing_preview(vd, str(p2))
+        assert p2.stat().st_size > 0
+        before = (rng.random((20, 30)) > 0.8) * 200.0
+        after = before.copy()
+        after[:10] = 0
+        p3 = tmp_path / 'scatter.png'
+        plot_cluster_scatter(before, after, str(p3))
+        assert p3.stat().st_size > 0
+
+
+class TestMemoryDatasets:
+    def test_memory_image_dataset(self):
+        from retargetvid_tpu.train.data import MemoryImageDataset
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (140, 250, 3)).astype(np.uint8)
+                for _ in range(3)]
+        ds = MemoryImageDataset(imgs)
+        assert len(ds) == 3
+        assert ds.out_size_dict[0] == (256, 416)
+        nrs, tensor, target = ds.get_data(0)
+        assert tensor.shape == (256, 416, 3)
+        assert target == (140, 250)
+        allx = ds.get_all_data()
+        assert allx.shape == (3, 256, 416, 3)
+
+    def test_env_gated_dataset_missing(self, monkeypatch):
+        from retargetvid_tpu.train.data import DHF1KDataset
+        monkeypatch.delenv('DHF1K_DATA_DIR', raising=False)
+        with pytest.raises(FileNotFoundError):
+            DHF1KDataset()
