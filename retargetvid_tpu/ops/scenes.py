@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["predictions_to_scenes", "fix_scene_bounds", "scenes_to_selected"]
+__all__ = ["predictions_to_scenes", "fix_scene_bounds", "scenes_to_selected",
+           "insert_cuts"]
 
 
 def predictions_to_scenes(predictions, threshold: float = 0.5) -> np.ndarray:
@@ -47,6 +48,46 @@ def fix_scene_bounds(segmentation, true_frame_count: int) -> np.ndarray:
         seg[i][1] = seg[i + 1][0] - 1
     seg[-1][1] = true_frame_count - 1
     return seg
+
+
+def insert_cuts(segmentation, segmentation_sel, true_inds,
+                extra_cuts_at, extra_cuts_scores,
+                no_extra_cuts: int = 10):
+    """Merge extra (focus-change) cuts into both segmentations.
+
+    Reference ``sc_insert_cuts`` (``smartVidCrop.py:1457-1522``): keep the
+    strongest ``no_extra_cuts`` candidates (lowest jump-saliency scores are
+    the strongest focus changes; the reference sorts ascending and DROPS the
+    first ``no_extra_cuts`` — a quirk preserved here), union them with the
+    existing selected-frame cut set, and rebuild both the selected-frame and
+    true-frame segment tables.
+
+    Returns (segmentation, segmentation_sel, kept_cuts, kept_scores).
+    """
+    extra_cuts_at = list(extra_cuts_at)
+    extra_cuts_scores = list(extra_cuts_scores)
+    if no_extra_cuts is not None:
+        order = np.argsort(extra_cuts_scores, kind='stable')
+        extra_cuts_at = [extra_cuts_at[i] for i in order][no_extra_cuts:]
+        extra_cuts_scores = sorted(extra_cuts_scores)[no_extra_cuts:]
+
+    seg_sel = np.asarray(segmentation_sel)
+    old_cuts = [int(s[0]) for s in seg_sel]
+    cuts = sorted(set(old_cuts + [int(c) for c in extra_cuts_at]))
+
+    old_end_sel = int(seg_sel[-1][1])
+    new_sel = [[cuts[i], cuts[i + 1] - 1] for i in range(len(cuts) - 1)]
+    new_sel.append([cuts[-1], old_end_sel])
+
+    true_inds = np.asarray(true_inds)
+    true_cuts = [int(true_inds[c]) for c in cuts]
+    old_end = int(np.asarray(segmentation)[-1][1])
+    new_seg = [[true_cuts[i], true_cuts[i + 1] - 1]
+               for i in range(len(true_cuts) - 1)]
+    new_seg.append([true_cuts[-1], old_end])
+
+    return (np.array(new_seg, np.int32), np.array(new_sel, np.int32),
+            extra_cuts_at, extra_cuts_scores)
 
 
 def scenes_to_selected(segmentation, map2orig) -> np.ndarray:
