@@ -37,6 +37,7 @@ class _MobileConv(nn.Module):
     ksize: Tuple[int, int] = (3, 3)
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = True
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x, source: str = 'DHF1K'):
@@ -45,7 +46,8 @@ class _MobileConv(nn.Module):
                                                      (pad[1],) * 2],
                     feature_group_count=self.in_ch, use_bias=False,
                     name='conv_dw')(x)
-        bn = make_bn(self.ds_bn, self.sources)(name='sep_bn')
+        bn = make_bn(self.ds_bn, self.sources,
+                     use_running_average=not self.bn_train)(name='sep_bn')
         x = bn(x, source) if self.ds_bn else bn(x)
         x = relu6(x)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name='conv_sep')(x)
@@ -60,6 +62,7 @@ class ConvGRUCell(nn.Module):
     gate_ksize: Tuple[int, int] = (3, 3)
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = True
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x, h, source: str = 'DHF1K',
@@ -67,10 +70,11 @@ class ConvGRUCell(nn.Module):
         def conv(name, in_ch, ksize):
             return _MobileConv(in_ch, self.hidden_ch, ksize,
                                sources=self.sources, ds_bn=self.ds_bn,
-                               name=name)
+                               bn_train=self.bn_train, name=name)
 
         def bn(name):
-            m = make_bn(self.ds_bn, self.sources)(name=name)
+            m = make_bn(self.ds_bn, self.sources,
+                        use_running_average=not self.bn_train)(name=name)
             return (lambda v: m(v, source)) if self.ds_bn else m
 
         def affine(name):
@@ -120,6 +124,7 @@ class ConvGRU(nn.Module):
     drop_prob: Tuple[float, float, float] = (0.0, 0.2, 0.0)
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = True
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, xs, h0=None, source: str = 'DHF1K',
@@ -138,13 +143,31 @@ class ConvGRU(nn.Module):
 
         cell = ConvGRUCell(self.input_ch, self.hidden_ch, self.kernel_size,
                            self.gate_ksize, sources=self.sources,
-                           ds_bn=self.ds_bn, name='cell')
+                           ds_bn=self.ds_bn, bn_train=self.bn_train,
+                           name='cell')
 
-        scan = nn.scan(
-            lambda mdl, carry, x: mdl(x, carry, source=source,
-                                      drop_x=drop_x, drop_h=drop_h),
-            variable_broadcast=('params', 'batch_stats'),
-            split_rngs={'params': False},
-            in_axes=1, out_axes=1)
+        if self.bn_train:
+            # Train mode: BN statistics mutate every timestep (the reference
+            # updates running stats per step of its Python loop), so the
+            # batch_stats collection is CARRIED through the scan.  The carry
+            # must exist before scanning — create the cell's variables with
+            # one unrolled step at init time.
+            if self.is_initializing():
+                cell(xs[:, 0], h0, source=source,
+                     drop_x=drop_x, drop_h=drop_h)
+            scan = nn.scan(
+                lambda mdl, carry, x: mdl(x, carry, source=source,
+                                          drop_x=drop_x, drop_h=drop_h),
+                variable_broadcast='params',
+                variable_carry='batch_stats',
+                split_rngs={'params': False},
+                in_axes=1, out_axes=1)
+        else:
+            scan = nn.scan(
+                lambda mdl, carry, x: mdl(x, carry, source=source,
+                                          drop_x=drop_x, drop_h=drop_h),
+                variable_broadcast=('params', 'batch_stats'),
+                split_rngs={'params': False},
+                in_axes=1, out_axes=1)
         h_final, outputs = scan(cell, h0, xs)
         return outputs, h_final

@@ -37,31 +37,48 @@ class DomainBN(nn.Module):
     """
     sources: Sequence[str] = DEFAULT_SOURCES
     use_running_average: bool = True
+    #: flax momenta (= 1 - torch momentum) per source; reference uses torch
+    #: momentum 0.01 for dynamic sources and 0.1 for SALICON
+    #: (``unisal/model.py:293-299``).
+    momenta: Optional[Sequence[float]] = None
 
     def setup(self):
-        for src in self.sources:
+        momenta = self.momenta or tuple(
+            0.9 if src == 'SALICON' else 0.99 for src in self.sources)
+        for src, m in zip(self.sources, momenta):
             setattr(self, f'bn_{src.lower()}', nn.BatchNorm(
                 use_running_average=self.use_running_average,
-                momentum=0.99, epsilon=1e-5))
+                momentum=m, epsilon=1e-5))
 
     def __call__(self, x, source: str = 'DHF1K'):
         if source not in self.sources:
             raise ValueError(f'unknown source {source!r}')
-        # Apply every source's BN and select statically: inactive branches
-        # exist so their params materialize (linen creates submodule params
-        # only on use); XLA dead-code-eliminates their compute.
-        outs = {s: getattr(self, f'bn_{s.lower()}')(x) for s in self.sources}
-        return outs[source]
+        if self.is_initializing():
+            # Materialize every source's params (linen creates submodule
+            # variables only on use); the active output is returned.
+            outs = {s: getattr(self, f'bn_{s.lower()}')(x)
+                    for s in self.sources}
+            return outs[source]
+        # Apply time: ONLY the active source's BN runs — in train mode an
+        # applied BN mutates its running stats, and the reference never
+        # touches inactive sources' statistics (model.py:100-101).
+        return getattr(self, f'bn_{source.lower()}')(x)
 
 
-def make_bn(ds_bn: bool, sources, use_running_average: bool = True):
-    """BatchNorm factory: domain-specific or plain."""
+def make_bn(ds_bn: bool, sources, use_running_average: bool = True,
+            momentum: float = 0.99):
+    """BatchNorm factory: domain-specific or plain.
+
+    ``momentum`` is the flax convention (new = m*old + (1-m)*batch), i.e.
+    1 - torch momentum; torch defaults 0.1 -> 0.9, UNISAL's bn_momentum
+    0.01 -> 0.99.
+    """
     if ds_bn:
         return lambda name=None: DomainBN(
             sources=sources, use_running_average=use_running_average,
             name=name)
     return lambda name=None: nn.BatchNorm(
-        use_running_average=use_running_average, momentum=0.99,
+        use_running_average=use_running_average, momentum=momentum,
         epsilon=1e-5, name=name)
 
 
@@ -71,12 +88,14 @@ class ConvBN(nn.Module):
     stride: int = 1
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = False
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x, source: str = 'DHF1K'):
         x = nn.Conv(self.features, (3, 3), strides=self.stride,
                     padding=1, use_bias=False, name='conv')(x)
-        bn = make_bn(self.ds_bn, self.sources)(name='bn')
+        bn = make_bn(self.ds_bn, self.sources,
+                     use_running_average=not self.bn_train)(name='bn')
         x = bn(x, source) if self.ds_bn else bn(x)
         return relu6(x)
 
@@ -86,11 +105,13 @@ class Conv1x1BN(nn.Module):
     features: int
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = False
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x, source: str = 'DHF1K'):
         x = nn.Conv(self.features, (1, 1), use_bias=False, name='conv')(x)
-        bn = make_bn(self.ds_bn, self.sources)(name='bn')
+        bn = make_bn(self.ds_bn, self.sources,
+                     use_running_average=not self.bn_train)(name='bn')
         x = bn(x, source) if self.ds_bn else bn(x)
         return relu6(x)
 
@@ -110,6 +131,8 @@ class InvertedResidual(nn.Module):
     no_res_connect: bool = False
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = False
+    bn_train: bool = False
+    bn_momentum: float = 0.99
 
     @property
     def use_res_connect(self) -> bool:
@@ -120,7 +143,9 @@ class InvertedResidual(nn.Module):
     def __call__(self, x, source: str = 'DHF1K'):
         actual_stride = 1 if self.omit_stride else self.stride
         hidden = round(self.inp * self.expand_ratio)
-        bnf = make_bn(self.ds_bn, self.sources)
+        bnf = make_bn(self.ds_bn, self.sources,
+                      use_running_average=not self.bn_train,
+                      momentum=self.bn_momentum)
 
         def apply_bn(bn, h):
             return bn(h, source) if self.ds_bn else bn(h)

@@ -106,17 +106,20 @@ class _SkipConnection(nn.Module):
     drop_prob: float = 0.6
     sources: Sequence[str] = DEFAULT_SOURCES
     ds_bn: bool = True
+    bn_train: bool = False
 
     @nn.compact
     def __call__(self, x, source='DHF1K', deterministic: bool = True):
         hidden = round(self.in_ch * self.expand_ratio)
         x = Conv1x1BN(hidden, sources=self.sources, ds_bn=self.ds_bn,
-                      name='expansion')(x, source)
+                      bn_train=self.bn_train, name='expansion')(x, source)
         x = nn.Dropout(self.drop_prob, broadcast_dims=(1, 2),
                        deterministic=deterministic)(x)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=True,
                     name='reduction_conv')(x)
-        bn = make_bn(self.ds_bn, self.sources)(name='reduction_bn')
+        bn = make_bn(self.ds_bn, self.sources,
+                     use_running_average=not self.bn_train)(
+            name='reduction_bn')
         x = bn(x, source) if self.ds_bn else bn(x)
         return x
 
@@ -142,6 +145,11 @@ class UNISAL(nn.Module):
     ds_smoothing: bool = True
     ds_gaussians: bool = True
     with_rnn: bool = True
+    #: Train-mode BatchNorm statistics updates (reference: torch train()).
+    #: The backbone CNN stays in eval mode regardless (cnn_eval=True,
+    #: reference train.py:116-118) when ``cnn_eval`` holds.
+    bn_train: bool = False
+    cnn_eval: bool = True
 
     def _suffix(self, flag: bool, source: str) -> str:
         return f'_{source.lower()}' if flag else ''
@@ -162,14 +170,15 @@ class UNISAL(nn.Module):
         flat = x.reshape(b * t, h, w, c)
         feat_1x, feat_2x, feat_4x = cnn(flat)
 
+        bn_train = self.bn_train
         feat_2x = _SkipConnection(
             cnn.feat_2x_channels, 128, 2, self.drop_probs[1],
-            sources=self.sources, ds_bn=self.ds_bn, name='skip_2x')(
-            feat_2x, source, deterministic)
+            sources=self.sources, ds_bn=self.ds_bn, bn_train=bn_train,
+            name='skip_2x')(feat_2x, source, deterministic)
         feat_4x = _SkipConnection(
             cnn.feat_4x_channels, 64, 2, self.drop_probs[2],
-            sources=self.sources, ds_bn=self.ds_bn, name='skip_4x')(
-            feat_4x, source, deterministic)
+            sources=self.sources, ds_bn=self.ds_bn, bn_train=bn_train,
+            name='skip_4x')(feat_4x, source, deterministic)
 
         if self.n_gaussians > 0:
             # Create every source's Gaussians (reference builds all at
@@ -189,7 +198,8 @@ class UNISAL(nn.Module):
 
         feat_1x = InvertedResidual(
             feat_1x.shape[-1], self.rnn_input_channels, 1, 1,
-            sources=self.sources, ds_bn=False, name='post_cnn')(feat_1x)
+            sources=self.sources, ds_bn=False, bn_train=bn_train,
+            name='post_cnn')(feat_1x)
 
         # Bypass-RNN (reference model.py:457-460): static inputs skip it.
         hidden = None
@@ -197,12 +207,14 @@ class UNISAL(nn.Module):
             seq = feat_1x.reshape(b, t, *feat_1x.shape[1:])
             rnn_out, hidden = ConvGRU(
                 self.rnn_input_channels, self.rnn_hidden_channels,
-                sources=self.sources, ds_bn=self.ds_bn, name='rnn')(
+                sources=self.sources, ds_bn=self.ds_bn, bn_train=bn_train,
+                name='rnn')(
                 seq, h0=h0, source=source, deterministic=deterministic)
             rnn_out = rnn_out.reshape(b * t, *rnn_out.shape[2:])
             rnn_out = Conv1x1BN(
                 self.rnn_input_channels, sources=self.sources,
-                ds_bn=self.ds_bn, name='post_rnn')(rnn_out, source)
+                ds_bn=self.ds_bn, bn_train=bn_train,
+                name='post_rnn')(rnn_out, source)
             feat_1x = feat_1x + rnn_out if self.res_rnn else rnn_out
 
         # Decoder.
@@ -212,13 +224,15 @@ class UNISAL(nn.Module):
         up = jnp.concatenate([up, feat_2x], axis=-1)
         up = InvertedResidual(
             up.shape[-1], 128, 1, 2, sources=self.sources,
-            ds_bn=self.ds_bn, name='upsampling_2_inv_res')(up, source)
+            ds_bn=self.ds_bn, bn_train=bn_train,
+            name='upsampling_2_inv_res')(up, source)
         up = resize(up, (up.shape[1] * 2, up.shape[2] * 2), 'linear',
                     channels_last=True)
         up = jnp.concatenate([up, feat_4x], axis=-1)
         up = InvertedResidual(
             up.shape[-1], 64, 1, 2, sources=self.sources,
-            ds_bn=self.ds_bn, name='post_upsampling_2_inv_res')(up, source)
+            ds_bn=self.ds_bn, bn_train=bn_train,
+            name='post_upsampling_2_inv_res')(up, source)
 
         asuf = self._suffix(self.ds_adaptation, source)
         adapt_sufs = ([f'_{s.lower()}' for s in self.sources]

@@ -165,19 +165,29 @@ def make_train_step(model: UNISAL, tx, *, source: str,
          rng) -> (state, metrics dict)
     """
 
+    bn_train = getattr(model, 'bn_train', False)
+
     def loss_fn(params, batch_stats, x, sal, fix, rng):
         variables = {'params': params, 'batch_stats': batch_stats}
         static = x.shape[1] == 1 if static_batch is None else static_batch
-        logp, _ = model.apply(
-            variables, x, source=source, static=static,
-            deterministic=False, rngs={'dropout': rng})
+        if bn_train:
+            (logp, _), mutated = model.apply(
+                variables, x, source=source, static=static,
+                deterministic=False, rngs={'dropout': rng},
+                mutable=['batch_stats'])
+            new_stats = mutated['batch_stats']
+        else:
+            logp, _ = model.apply(
+                variables, x, source=source, static=static,
+                deterministic=False, rngs={'dropout': rng})
+            new_stats = batch_stats
         summands = loss_sequences(logp, sal, fix, metrics)
         summands = [jnp.mean(s) for s in summands]
         loss = sum(wt * s for wt, s in zip(loss_weights, summands))
-        return loss, summands
+        return loss, (summands, new_stats)
 
     def step(state: TrainState, x, sal, fix, rng):
-        (loss, summands), grads = jax.value_and_grad(
+        (loss, (summands, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    x, sal, fix, rng)
         static = x.shape[1] == 1 if static_batch is None else static_batch
@@ -187,7 +197,7 @@ def make_train_step(model: UNISAL, tx, *, source: str,
         updates, opt_state = tx.update(grads, state.opt_state,
                                        (state.params, mask))
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, batch_stats=state.batch_stats,
+        new_state = TrainState(params=params, batch_stats=new_stats,
                                opt_state=opt_state, step=state.step + 1)
         out = {'loss': loss}
         for name, val in zip(metrics, summands):
@@ -229,7 +239,9 @@ class Trainer(KwConfig):
         self.model_cfg = dict(model_cfg or {})
         self.new_instance = new_instance
 
-        self.model = UNISAL(**self.model_cfg)
+        # Training mode: BN statistics update with the reference's momenta;
+        # the backbone CNN stays in eval mode (cnn_eval, train.py:116-118).
+        self.model = UNISAL(**{'bn_train': True, **self.model_cfg})
         self._steps: dict = {}
         self.state: Optional[TrainState] = None
         self._tx = None

@@ -110,6 +110,36 @@ class TestTrainStep:
             np.asarray(state.params['adaptation_dhf1k']['kernel']))
 
 
+@pytest.mark.slow
+class TestBNTraining:
+    def test_bn_stats_update_semantics(self):
+        """Train-mode BN: active source's stats move, inactive sources' and
+        the backbone's (cnn_eval) stay fixed; GRU stats update through the
+        carried scan (reference per-timestep updates)."""
+        from retargetvid_tpu.train.trainer import Trainer
+
+        tr = Trainer(steps_per_epoch=10)
+        tr.init_state(example_shape=(1, 2, 64, 64, 3))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 2, 64, 64, 3))
+                        .astype(np.float32))
+        sal = np.zeros((2, 2, 64, 64, 1), np.float32)
+        sal[:, :, 30:34, 30:34, 0] = 1
+        sal /= sal.sum(axis=(2, 3, 4), keepdims=True)
+        fix = jnp.asarray((rng.random((2, 2, 64, 64, 1)) > 0.99)
+                          .astype(np.float32))
+        tr.fit_epoch([('DHF1K', x, jnp.asarray(sal), fix)], epoch=0,
+                     rng=jax.random.PRNGKey(0))
+        bs = tr.state.batch_stats
+        sk = bs['skip_2x']['expansion']['bn']
+        assert not np.allclose(np.asarray(sk['bn_dhf1k']['mean']), 0)
+        assert np.allclose(np.asarray(sk['bn_salicon']['mean']), 0)
+        assert np.allclose(
+            np.asarray(bs['cnn']['features_0']['bn']['mean']), 0)
+        assert not np.allclose(np.asarray(
+            bs['rnn']['cell']['w_r']['sep_bn']['bn_dhf1k']['mean']), 0)
+
+
 class TestMesh:
     def test_factorization(self):
         from retargetvid_tpu.parallel.mesh import make_mesh
