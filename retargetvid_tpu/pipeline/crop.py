@@ -166,7 +166,12 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
 
     # Rendering (optional; reference :2536-2553).
     t = time.perf_counter()
-    if save_vid and not str(video_path).endswith('.pkl'):
+    if save_vid and str(video_path).endswith('.pkl') and not do_pad:
+        # Web-service mode: cropped frames go back out as <stem>_sc.pkl.
+        from retargetvid_tpu.pipeline.render import render_cropped_pickle
+        render_cropped_pickle(video_path, np.asarray(vd['bbs']))
+        results['result'] = 'smart cropped'
+    elif save_vid and not str(video_path).endswith('.pkl'):
         from retargetvid_tpu.pipeline import render as render_mod
         if do_pad:
             if final_vid_fn:

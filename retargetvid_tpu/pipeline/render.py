@@ -15,7 +15,39 @@ import numpy as np
 
 from retargetvid_tpu.io.video import VideoReader, probe_video, write_video
 
-__all__ = ["render_cropped", "render_padded", "render_demo"]
+__all__ = ["render_cropped", "render_padded", "render_demo",
+           "render_cropped_pickle"]
+
+
+def render_cropped_pickle(pkl_path, boxes: np.ndarray, out_path=None) -> str:
+    """Web-service mode: crop the frames of a reference-format ``.pkl`` clip
+    and write them back as ``<stem>_sc.pkl`` (reference ``sc_renderer``'s
+    pickle branch, ``smartVidCrop.py:1820-1825, 1879-1884``).
+
+    The output pickle mirrors the input contract with cropped ``frames`` and
+    updated ``w``/``h``.  Returns the output path.
+    """
+    import pickle
+
+    with open(pkl_path, 'rb') as fp:
+        data = pickle.load(fp)
+    frames = np.asarray(data['frames'])
+    boxes = np.asarray(boxes, int)
+    n = min(len(frames), len(boxes))
+    cropped = [frames[i][boxes[i][1]:boxes[i][3], boxes[i][0]:boxes[i][2]]
+               for i in range(n)]
+    out = {
+        'fr': data.get('fr'),
+        'frame_count': n,
+        'w': int(boxes[0][2] - boxes[0][0]),
+        'h': int(boxes[0][3] - boxes[0][1]),
+        'frames': np.stack(cropped),
+        'bbs': boxes[:n],
+    }
+    out_path = out_path or str(pkl_path).replace('.pkl', '_sc.pkl')
+    with open(out_path, 'wb') as fp:
+        pickle.dump(out, fp)
+    return out_path
 
 
 def render_cropped(video_path, boxes: np.ndarray, out_path,

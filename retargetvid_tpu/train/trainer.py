@@ -296,6 +296,50 @@ class Trainer(KwConfig):
             count += 1
         return {k: v / max(count, 1) for k, v in totals.items()}
 
+    # -- evaluation (reference score_model, train.py:977-1075) ------------
+    def score_model(self, batches, source: str = 'DHF1K',
+                    metrics=('kld', 'nss', 'cc', 'sim', 'aucj')) -> dict:
+        """Score held-out (x, sal, fix) batches with saliency metrics.
+
+        ``batches``: iterable of (x (B,T,H,W,3), sal (B,T,H,W,1),
+        fix (B,T,H,W,1)).  kld/nss/cc run on device; SIM and AUC-Judd use
+        the numpy metrics (``eval/saliency_metrics.py``).
+        """
+        import jax.numpy as jnp
+
+        from retargetvid_tpu.eval.saliency_metrics import auc_judd, sim
+        from retargetvid_tpu.train.losses import loss_sequences
+
+        variables = {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats}
+        eval_model = self.model.clone(bn_train=False)
+        totals: dict = {m: [] for m in metrics}
+        for x, sal, fix in batches:
+            logp, _ = eval_model.apply(
+                variables, jnp.asarray(x), source=source,
+                static=x.shape[1] == 1)
+            dev = loss_sequences(logp, jnp.asarray(sal), jnp.asarray(fix),
+                                 [m for m in metrics
+                                  if m in ('kld', 'nss', 'cc')])
+            for name, val in zip(
+                    [m for m in metrics if m in ('kld', 'nss', 'cc')], dev):
+                totals[name].append(float(jnp.mean(val)))
+            if 'sim' in metrics or 'aucj' in metrics:
+                pred = np.exp(np.asarray(logp))
+                sal_np = np.asarray(sal)
+                fix_np = np.asarray(fix)
+                for b in range(pred.shape[0]):
+                    for t in range(pred.shape[1]):
+                        if 'sim' in metrics:
+                            totals['sim'].append(
+                                sim(pred[b, t, :, :, 0], sal_np[b, t, :, :, 0]))
+                        if 'aucj' in metrics:
+                            totals['aucj'].append(
+                                auc_judd(pred[b, t, :, :, 0],
+                                         fix_np[b, t, :, :, 0]))
+        return {m: float(np.nanmean(v)) if v else float('nan')
+                for m, v in totals.items()}
+
     # -- checkpointing (reference train.py:1627-1650 equivalents) ---------
     def save_chkpnt(self, directory, epoch: int) -> Path:
         directory = Path(directory)
