@@ -21,7 +21,7 @@ sequence and closed over by the scan body, matching the reference's
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -17,10 +17,9 @@ MXU/VPU work that XLA fuses; batching over frames happens in the caller.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from retargetvid_tpu.models.layers import ConvBN, Conv1x1BN, InvertedResidual
 

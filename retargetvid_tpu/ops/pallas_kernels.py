@@ -16,8 +16,6 @@ without Mosaic (the CPU test mesh runs the kernels in interpret mode).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

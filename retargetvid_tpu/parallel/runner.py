@@ -10,7 +10,7 @@ collectives; only the tiny per-video crop boxes return to the host.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from retargetvid_tpu.models.unisal import UNISAL
-from retargetvid_tpu.ops.border import border_detection, coverage_score, mean_saliency
+from retargetvid_tpu.ops.border import border_detection, mean_saliency
 from retargetvid_tpu.pipeline.geometry import (
     GeometryConfig,
     bucket_size,

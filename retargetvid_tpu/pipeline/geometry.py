@@ -22,15 +22,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from retargetvid_tpu.ops.boxes import compute_crop_boxes, shift_time
 from retargetvid_tpu.ops.center import center_of_mass
-from retargetvid_tpu.ops.clustering import _filter_one, clustering_filter
+from retargetvid_tpu.ops.clustering import _filter_one
 from retargetvid_tpu.ops.filters import smooth_segments
 from retargetvid_tpu.ops.focus import jump_saliency_scores
 from retargetvid_tpu.ops.interpolate import interpolate_segments

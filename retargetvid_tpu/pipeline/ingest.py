@@ -29,7 +29,6 @@ from __future__ import annotations
 import functools
 import pickle
 import time
-from pathlib import Path
 from typing import Callable, Optional
 
 import numpy as np

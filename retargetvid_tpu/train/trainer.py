@@ -24,10 +24,9 @@ KwConfig JSON round trip (reference ``utils.py:28-44``).
 
 from __future__ import annotations
 
-import dataclasses
 import pickle
 from pathlib import Path
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
