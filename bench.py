@@ -125,6 +125,13 @@ def main():
         run_once()
         prof.disable()
         pstats.Stats(prof).sort_stats('cumulative').print_stats(25)
+    if os.environ.get('BENCH_TRACE_DIR'):
+        # jax.profiler trace of one pipeline pass (view with TensorBoard
+        # or xprof) — the TPU-native counterpart of the reference's
+        # stage-keyed wall-clock registry (SURVEY.md §5.1).
+        with jax.profiler.trace(os.environ['BENCH_TRACE_DIR']):
+            run_once()
+
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):

@@ -103,8 +103,9 @@ def render_padded(video_path, out_path, w_final: int, h_final: int,
 
 def render_demo(video_path, vid_data: dict, geometry: dict, out_path,
                 fps: Optional[float] = None) -> int:
-    """Multi-panel demo video: original | saliency | filtered+centers |
-    final box overlay (reference 5-panel demo, ``smartVidCrop.py:1924-2126``).
+    """Five-panel demo video (reference ``smartVidCrop.py:1924-2126``):
+    original | saliency | filtered maps with centers/jump markers |
+    crop-box overlay | the final cropped view (letterboxed into the panel).
     """
     import cv2
 
@@ -115,10 +116,14 @@ def render_demo(video_path, vid_data: dict, geometry: dict, out_path,
     filtered = geometry.get('smaps_filtered')
     if filtered is not None:
         filtered = np.asarray(filtered)
+    dx = geometry.get('dx')
+    dy = geometry.get('dy')
+    jumps = geometry.get('jumps')
+    h_proc, w_proc = vid_data['h_process'], vid_data['w_process']
     inds_to_orig = vid_data['inds_to_orig']
     h, w = info['height'], info['width']
-    panel_w = w // 2
-    panel_h = h // 2
+    panel_w = (w // 2) & ~1
+    panel_h = (h // 2) & ~1
     reader = VideoReader(video_path)
 
     def panel(img):
@@ -128,20 +133,41 @@ def render_demo(video_path, vid_data: dict, geometry: dict, out_path,
         for i, frame in enumerate(reader.frames()):
             if i >= len(boxes):
                 break
-            sel = inds_to_orig[min(i, len(inds_to_orig) - 1)]
-            smap = smaps[min(sel, len(smaps) - 1)]
-            smap_rgb = cv2.applyColorMap(smap, cv2.COLORMAP_JET)[:, :, ::-1]
+            sel = min(inds_to_orig[min(i, len(inds_to_orig) - 1)],
+                      len(smaps) - 1)
+            smap_rgb = cv2.applyColorMap(smaps[sel],
+                                         cv2.COLORMAP_JET)[:, :, ::-1]
             if filtered is not None:
-                fmap = filtered[min(sel, len(filtered) - 1)].astype(np.uint8)
-                fmap_rgb = cv2.applyColorMap(fmap, cv2.COLORMAP_JET)[:, :, ::-1]
+                fmap_rgb = cv2.applyColorMap(
+                    filtered[min(sel, len(filtered) - 1)].astype(np.uint8),
+                    cv2.COLORMAP_JET)[:, :, ::-1].copy()
             else:
-                fmap_rgb = smap_rgb
+                fmap_rgb = smap_rgb.copy()
+            # centers + focus-jump markers on the filtered panel
+            if dx is not None and sel < len(dx):
+                cx, cy = int(dx[sel]), int(dy[sel])
+                color = (255, 255, 255)
+                if jumps is not None and sel < len(jumps) \
+                        and jumps[sel] < 255.0:
+                    color = (255, 0, 255)
+                cv2.circle(fmap_rgb, (np.clip(cx, 0, w_proc - 1),
+                                      np.clip(cy, 0, h_proc - 1)),
+                           3, color, -1)
             overlay = frame.copy()
             x1, y1, x2, y2 = boxes[i]
             cv2.rectangle(overlay, (x1, y1), (x2 - 1, y2 - 1), (0, 255, 0), 2)
-            top = np.concatenate([panel(frame), panel(smap_rgb)], axis=1)
-            bot = np.concatenate([panel(fmap_rgb), panel(overlay)], axis=1)
-            yield np.concatenate([top, bot], axis=0)
+            crop = frame[y1:y2, x1:x2]
+            ch, cw = crop.shape[:2]
+            scale = min(panel_w / cw, panel_h / ch)
+            crop_r = cv2.resize(crop, (max(int(cw * scale), 2),
+                                       max(int(ch * scale), 2)))
+            crop_panel = np.zeros((panel_h, panel_w, 3), np.uint8)
+            oy = (panel_h - crop_r.shape[0]) // 2
+            ox = (panel_w - crop_r.shape[1]) // 2
+            crop_panel[oy:oy + crop_r.shape[0], ox:ox + crop_r.shape[1]] = crop_r
+            yield np.concatenate(
+                [panel(frame), panel(smap_rgb), panel(fmap_rgb),
+                 panel(overlay), crop_panel], axis=1)
 
     try:
         return write_video(str(out_path), gen(), fps)

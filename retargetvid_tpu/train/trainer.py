@@ -355,6 +355,40 @@ class Trainer(KwConfig):
         self.save_cfg(directory)
         return path
 
+    def copy_code(self, directory) -> Path:
+        """Archive the framework source next to the checkpoints
+        (reference ``train.py:1597-1625``)."""
+        import shutil
+
+        import retargetvid_tpu
+        src = Path(retargetvid_tpu.__file__).parent
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        dst = directory / 'code_copy'
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst, ignore=shutil.ignore_patterns('__pycache__'))
+        return dst
+
+    def export_scalars(self, directory, history) -> Path:
+        """Write accumulated scalar history as ``all_scalars.json``
+        (reference's TensorboardX export, ``train.py:1652-1699``).
+
+        ``history``: list of per-epoch metric dicts (e.g. from fit_epoch).
+        """
+        import json
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        path = directory / 'all_scalars.json'
+        scalars: dict = {}
+        for epoch, metrics in enumerate(history):
+            for k, v in metrics.items():
+                scalars.setdefault(k, []).append([epoch, float(v)])
+        with open(path, 'w') as fp:
+            json.dump(scalars, fp, indent=2)
+        return path
+
     def load_chkpnt(self, path) -> TrainState:
         with open(path, 'rb') as fp:
             tree = pickle.load(fp)
