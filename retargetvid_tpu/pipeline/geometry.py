@@ -40,8 +40,8 @@ from retargetvid_tpu.ops.threshold import threshold_saliency
 __all__ = ["GeometryConfig", "geometry_pipeline", "run_geometry",
            "bucket_size"]
 
-_BUCKETS = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
-            3072, 4096, 6144, 8192)
+_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 256, 320, 384, 512, 640, 768,
+            1024, 1536, 2048, 3072, 4096, 6144, 8192)
 
 
 def bucket_size(n: int) -> int:
