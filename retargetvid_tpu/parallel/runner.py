@@ -20,7 +20,119 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from retargetvid_tpu.models.unisal import UNISAL
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
-__all__ = ["ShardedSaliency"]
+__all__ = ["ShardedSaliency", "ShardedClipRunner"]
+
+
+class ShardedClipRunner:
+    """Whole clips sharded across the mesh dp axis — one SPMD program runs
+    D clips' full post-shot-detection pipelines (gather + saliency +
+    geometry) concurrently, one clip per dp shard.
+
+    This is the multi-chip benchmark execution model (SURVEY.md §7.7): the
+    200-video RetargetVid run groups same-bucket clips into dp-sized batches;
+    no hot-path collectives exist, only the KB-scale crop boxes return.
+    """
+
+    def __init__(self, mesh, variables=None, model=None,
+                 source: str = 'SALICON', dtype=jnp.float32,
+                 t_border: int = -1, rng_seed: int = 0):
+        from retargetvid_tpu.models.unisal import UNISAL
+        self.mesh = mesh
+        self.model = model or UNISAL()
+        self.source = source
+        self.dtype = dtype
+        self.t_border = t_border
+        if variables is None:
+            x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
+                                        static=True)
+        self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg,
+                  fps, h_orig, w_orig, w_final, h_final):
+        from retargetvid_tpu.pipeline.fused import make_clip_fn
+
+        fn = make_clip_fn(
+            self.model, self.variables, source=self.source, dtype=self.dtype,
+            t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
+            t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
+            w_final=w_final, h_final=h_final)
+        clip_sharding = NamedSharding(self.mesh, P('dp'))
+        return jax.jit(jax.vmap(fn),
+                       in_shardings=(clip_sharding,) * 11,
+                       out_shardings=clip_sharding)
+
+    def run_batch(self, clips, crop_params: dict, *, fps: float,
+                  h_orig: int, w_orig: int, w_final: int, h_final: int,
+                  seg_bucket: int = 64) -> list:
+        """Run a dp-sized batch of clips with IDENTICAL bucket shapes.
+
+        ``clips``: list of dicts with keys ``sal_frames`` (T_all, H, W, 3),
+        ``selected``, ``true_inds``, ``segmentation``, ``segmentation_sel``,
+        ``fc``.  All clips must share T_all/H/W and bucketized shapes (group
+        clips by bucket before calling).  Returns a per-clip list of result
+        dicts (boxes trimmed to each clip's fc).
+        """
+        from retargetvid_tpu.pipeline.geometry import GeometryConfig, bucket_size
+        from retargetvid_tpu.pipeline.saliency import get_optimal_out_size
+
+        d = len(clips)
+        cfg = GeometryConfig.from_crop_params(crop_params)
+        t_sel_pad = bucket_size(max(len(c['selected']) for c in clips))
+        t_out = bucket_size(max(c['fc'] for c in clips))
+        s_pad = seg_bucket
+        h, w = int(clips[0]['sal_frames'].shape[1]), \
+            int(clips[0]['sal_frames'].shape[2])
+        net_hw = get_optimal_out_size((h, w))
+
+        def stack(key, build):
+            return jnp.stack([build(c) for c in clips])
+
+        def pad_1d(vals, n, fill=0):
+            out = np.full(n, fill, np.int32)
+            out[:len(vals)] = np.asarray(vals, np.int32)
+            return out
+
+        def sel_idx(c):
+            return jnp.asarray(pad_1d(c['selected'], t_sel_pad))
+
+        def sel_mask(c):
+            m = np.zeros(t_sel_pad, bool)
+            m[:len(c['selected'])] = True
+            return jnp.asarray(m)
+
+        def ti(c):
+            arr = pad_1d(c['true_inds'], t_sel_pad)
+            n = len(c['true_inds'])
+            arr[n:] = arr[n - 1] + np.arange(1, t_sel_pad - n + 1)
+            return jnp.asarray(arr)
+
+        def seg_col(c, key, col):
+            return jnp.asarray(pad_1d(np.asarray(c[key])[:, col], s_pad))
+
+        fn = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw, cfg,
+                            float(fps), int(h_orig), int(w_orig),
+                            int(w_final), int(h_final))
+        out = fn(stack('sal_frames', lambda c: jnp.asarray(c['sal_frames'])),
+                 stack('sel', sel_idx), stack('mask', sel_mask),
+                 jnp.asarray([len(c['selected']) for c in clips], jnp.int32),
+                 stack('ti', ti),
+                 stack('ss', lambda c: seg_col(c, 'segmentation', 0)),
+                 stack('se', lambda c: seg_col(c, 'segmentation', 1)),
+                 stack('sss', lambda c: seg_col(c, 'segmentation_sel', 0)),
+                 stack('sse', lambda c: seg_col(c, 'segmentation_sel', 1)),
+                 jnp.asarray([len(c['segmentation']) for c in clips],
+                             jnp.int32),
+                 jnp.asarray([c['fc'] for c in clips], jnp.int32))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for i, c in enumerate(clips):
+            results.append({
+                'boxes': out['boxes'][i][:c['fc']],
+                'mean_sal': out['mean_sal'][i],
+            })
+        return results
 
 
 class ShardedSaliency:

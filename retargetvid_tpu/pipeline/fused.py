@@ -29,7 +29,54 @@ from retargetvid_tpu.pipeline.geometry import (
 )
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
-__all__ = ["FusedClipProgram"]
+__all__ = ["FusedClipProgram", "make_clip_fn"]
+
+
+def make_clip_fn(model, variables, *, source: str, dtype,
+                 t_border: int, cfg: GeometryConfig,
+                 in_hw: Tuple[int, int], net_hw: Tuple[int, int],
+                 t_out: int, fps: float, h_orig: int, w_orig: int,
+                 w_final: int, h_final: int):
+    """The per-clip program body: sampled frames -> boxes + diagnostics.
+
+    Pure (traceable) function of the clip's device arrays, reused by the
+    single-clip :class:`FusedClipProgram` and vmapped over a clip axis by
+    :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner`.
+    """
+
+    def fn(sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
+           seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+           n_segments, fc):
+        # Gather sampled frames (large contiguous rows -> efficient).
+        sel = sal_frames[sel_idx]
+        x = preprocess_frames(sel, net_hw).astype(dtype)
+        logp, _ = model.apply(variables, x[:, None], target_size=in_hw,
+                              source=source, static=True)
+        p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
+        mx = jnp.max(p, axis=(1, 2), keepdims=True)
+        smaps = jnp.where(mx > 0, p / mx, p) * 255.0
+        smaps = smaps.astype(jnp.uint8).astype(jnp.float32)
+        smaps = jnp.where(sel_mask[:, None, None], smaps, 0.0)
+
+        borders = border_detection(smaps, t_border, h_orig, w_orig)
+        mean_sal, _ = mean_saliency(smaps)
+
+        out = geometry_pipeline(
+            smaps, sel_mask, fc_sel, true_inds,
+            seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+            n_segments, fc,
+            borders['border_t'], borders['border_b'],
+            borders['border_l'], borders['border_r'],
+            cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
+            w_final=w_final, h_final=h_final, t_out=t_out)
+        return {'boxes': out['boxes'], 'mean_sal': mean_sal,
+                'dx': out['dx'], 'dy': out['dy'],
+                'dxs': out['dxs'], 'dys': out['dys'],
+                'dxi': out['dxi'], 'dyi': out['dyi'],
+                'jumps': out['jumps'],
+                'fbb_w': out['fbb_w'], 'fbb_h': out['fbb_h']}
+
+    return fn
 
 
 class FusedClipProgram:
@@ -53,41 +100,11 @@ class FusedClipProgram:
                   in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                   cfg: GeometryConfig, fps: float,
                   h_orig: int, w_orig: int, w_final: int, h_final: int):
-        model, variables, source = self.model, self.variables, self.source
-        t_border = self.t_border
-
-        def fn(sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
-               seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
-               n_segments, fc):
-            # Gather sampled frames (large contiguous rows -> efficient).
-            sel = sal_frames[sel_idx]
-            x = preprocess_frames(sel, net_hw).astype(self.dtype)
-            logp, _ = model.apply(variables, x[:, None], target_size=in_hw,
-                                  source=source, static=True)
-            p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
-            mx = jnp.max(p, axis=(1, 2), keepdims=True)
-            smaps = jnp.where(mx > 0, p / mx, p) * 255.0
-            smaps = smaps.astype(jnp.uint8).astype(jnp.float32)
-            smaps = jnp.where(sel_mask[:, None, None], smaps, 0.0)
-
-            borders = border_detection(smaps, t_border, h_orig, w_orig)
-            mean_sal, _ = mean_saliency(smaps)
-
-            out = geometry_pipeline(
-                smaps, sel_mask, fc_sel, true_inds,
-                seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
-                n_segments, fc,
-                borders['border_t'], borders['border_b'],
-                borders['border_l'], borders['border_r'],
-                cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
-                w_final=w_final, h_final=h_final, t_out=t_out)
-            return {'boxes': out['boxes'], 'mean_sal': mean_sal,
-                    'dx': out['dx'], 'dy': out['dy'],
-                    'dxs': out['dxs'], 'dys': out['dys'],
-                    'dxi': out['dxi'], 'dyi': out['dyi'],
-                    'jumps': out['jumps'],
-                    'fbb_w': out['fbb_w'], 'fbb_h': out['fbb_h']}
-
+        fn = make_clip_fn(
+            self.model, self.variables, source=self.source, dtype=self.dtype,
+            t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
+            t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
+            w_final=w_final, h_final=h_final)
         return jax.jit(fn)
 
     def run(self, sal_frames, selected, true_inds, segmentation,
