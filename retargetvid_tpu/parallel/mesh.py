@@ -29,15 +29,13 @@ AXES = ('dp', 'sp', 'tp')
 
 
 def _factorize(n: int) -> tuple:
-    """Split n devices over (dp, sp, tp), favoring dp."""
-    best = (n, 1, 1)
-    if n % 2 == 0 and n >= 4:
-        # give sp/tp a factor of 2 each when available
-        tp = 2 if n % 2 == 0 else 1
-        rem = n // tp
-        sp = 2 if rem % 2 == 0 and rem >= 2 else 1
-        best = (rem // sp, sp, tp)
-    return best
+    """Split n devices over (dp, sp, tp), favoring dp.
+
+    The 200-video benchmark is embarrassingly parallel over clips, so all
+    factors go to the data axis by default; callers that want model
+    parallelism (e.g. the training dryrun) pass explicit ``axis_sizes``.
+    """
+    return (n, 1, 1)
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -143,10 +143,14 @@ class TestBNTraining:
 class TestMesh:
     def test_factorization(self):
         from retargetvid_tpu.parallel.mesh import make_mesh
+        # Default factorization favors dp: the benchmark is clip-parallel.
         mesh = make_mesh(8)
-        assert dict(mesh.shape) == {'dp': 2, 'sp': 2, 'tp': 2}
+        assert dict(mesh.shape) == {'dp': 8, 'sp': 1, 'tp': 1}
         mesh1 = make_mesh(1)
         assert dict(mesh1.shape) == {'dp': 1, 'sp': 1, 'tp': 1}
+        # Model parallelism remains available via explicit axis_sizes.
+        mesh_mp = make_mesh(8, axis_sizes=(2, 2, 2))
+        assert dict(mesh_mp.shape) == {'dp': 2, 'sp': 2, 'tp': 2}
 
     @pytest.mark.slow
     def test_sharded_saliency_matches_single(self):
