@@ -160,6 +160,161 @@ def cmd_eval(args):
     evaluate_results_tree(args.results, annots, output_file=args.out)
 
 
+_DATASETS = {}
+
+
+def _dataset_classes():
+    if not _DATASETS:
+        from retargetvid_tpu.train.data import (
+            DHF1KDataset,
+            HollywoodDataset,
+            MIT1003Dataset,
+            SALICONDataset,
+            UCFSportsDataset,
+        )
+        _DATASETS.update({
+            'DHF1K': DHF1KDataset, 'Hollywood': HollywoodDataset,
+            'UCFSports': UCFSportsDataset, 'SALICON': SALICONDataset,
+            'MIT1003': MIT1003Dataset,
+        })
+    return _DATASETS
+
+
+class _SampleLoader:
+    """Batch-iterator factory over a dataset's ``sample()`` method."""
+
+    def __init__(self, dataset, n_batches: int, batch_size: int):
+        self.dataset = dataset
+        self.n_batches = n_batches
+        self.batch_size = batch_size
+
+    def __call__(self):
+        for _ in range(self.n_batches):
+            yield self.dataset.sample(self.batch_size)
+
+
+def _build_dataloaders(sources, *, batch_size: int, batches_per_epoch: int,
+                       valid_batches: int):
+    loaders = {}
+    for src in sources:
+        cls = _dataset_classes()[src]
+        if src == 'MIT1003':
+            train_ds = cls(phase='train')
+            valid_ds = cls(phase='valid')
+            loaders[src] = {
+                'train': _MITLoader(train_ds, batch_size),
+                'valid': _MITLoader(valid_ds, batch_size),
+            }
+        else:
+            train_ds = cls(phase='train')
+            valid_ds = cls(phase='valid')
+            loaders[src] = {
+                'train': _SampleLoader(train_ds, batches_per_epoch,
+                                       batch_size),
+                'valid': _SampleLoader(valid_ds, valid_batches, batch_size),
+            }
+    return loaders
+
+
+class _MITLoader:
+    """ImgSizeBatchSampler-backed loader for MIT1003."""
+
+    def __init__(self, dataset, batch_size: int):
+        from retargetvid_tpu.train.data import ImgSizeBatchSampler
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.n_batches = len(ImgSizeBatchSampler(dataset,
+                                                 batch_size=batch_size))
+
+    def __call__(self):
+        return self.dataset.batches(self.batch_size)
+
+
+def cmd_train(args):
+    """Train UNISAL (reference ``run.py train`` -> ``Trainer.fit``)."""
+    from retargetvid_tpu.train.trainer import Trainer
+
+    sources = tuple(args.sources.split(','))
+    trainer = Trainer(num_epochs=args.num_epochs, lr=args.lr,
+                      data_sources=sources,
+                      train_cnn_after=args.train_cnn_after)
+    loaders = _build_dataloaders(
+        sources, batch_size=args.batch_size,
+        batches_per_epoch=args.batches_per_epoch,
+        valid_batches=args.valid_batches)
+    best = trainer.fit(loaders, args.train_dir,
+                       chkpnt_warmup=args.chkpnt_warmup,
+                       chkpnt_epochs=args.chkpnt_epochs)
+    print(f'best val score: {best}')
+    if args.fine_tune_mit:
+        mit = _build_dataloaders(('MIT1003',), batch_size=args.batch_size,
+                                 batches_per_epoch=args.batches_per_epoch,
+                                 valid_batches=args.valid_batches)
+        best_val, best_epoch = trainer.fine_tune_mit(mit, args.train_dir)
+        print(f'MIT1003 fine-tune: best val {best_val} @ epoch {best_epoch}')
+
+
+def cmd_score(args):
+    """Score a trained model (reference ``run.py score_model``)."""
+    from retargetvid_tpu.train.trainer import Trainer
+
+    trainer = Trainer()
+    chk = sorted(Path(args.train_dir).glob('chkpnt_epoch*.pkl'))
+    best = Path(args.train_dir) / 'weights_best.pkl'
+    if best.exists():
+        trainer.init_state()
+        trainer.load_weights(best)
+        print(f' loaded {best}')
+    elif chk:
+        trainer.load_chkpnt(chk[-1])
+        print(f' loaded {chk[-1]}')
+    else:
+        raise FileNotFoundError(f'no weights under {args.train_dir}')
+    ds = _dataset_classes()[args.source](phase=args.phase)
+    batches = (ds.sample(args.batch_size) for _ in range(args.n_batches))
+    scores = trainer.score_model(batches, source=args.source)
+    for k, v in scores.items():
+        print(f'  {k}: {v:.4f}')
+
+
+def cmd_predict(args):
+    """Generate saliency maps for a folder of images or a video file
+    (reference ``run.py predict_examples`` / ``generate_predictions``)."""
+    import cv2
+
+    from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+    from retargetvid_tpu.train.data import FolderImageDataset, FolderVideoDataset
+
+    variables = None
+    if args.unisal_weights:
+        import torch
+
+        from retargetvid_tpu.models.torch_import import load_unisal_variables
+        from retargetvid_tpu.models.unisal import UNISAL
+        sd = torch.load(args.unisal_weights, map_location='cpu')
+        if isinstance(sd, dict) and 'model_state_dict' in sd:
+            sd = sd['model_state_dict']
+        variables = load_unisal_variables(UNISAL(), sd)
+    else:
+        print(' WARNING: no --unisal-weights; using random init')
+    predictor = SaliencyPredictor(variables=variables, chunk=args.chunk)
+
+    path = Path(args.path)
+    if path.is_dir():
+        ds = FolderImageDataset(path)
+        names = [f.stem for f in ds.files]
+    else:
+        ds = FolderVideoDataset(path)
+        names = [f'{i:05d}' for i in range(len(ds.images))]
+    out_dir = Path(args.out or (str(path) + '_saliency'))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = np.stack(ds.images)
+    maps = predictor.predict(frames)
+    for name, m in zip(names, maps):
+        cv2.imwrite(str(out_dir / f'{name}.png'), m)
+    print(f' wrote {len(names)} saliency maps to {out_dir}')
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog='retargetvid_tpu',
@@ -206,6 +361,39 @@ def main(argv=None):
     e.add_argument('--annotations-extract', default=None)
     e.add_argument('--out', default='eval_current.txt')
     e.set_defaults(fn=cmd_eval)
+
+    t = sub.add_parser('train', help='train UNISAL (reference run.py train)')
+    t.add_argument('--train-dir', default=os.environ.get(
+        'TRAIN_DIR', 'training_runs/run'))
+    t.add_argument('--sources', default='DHF1K,Hollywood,UCFSports,SALICON')
+    t.add_argument('--num-epochs', type=int, default=16)
+    t.add_argument('--lr', type=float, default=0.04)
+    t.add_argument('--batch-size', type=int, default=4)
+    t.add_argument('--batches-per-epoch', type=int, default=1000)
+    t.add_argument('--valid-batches', type=int, default=100)
+    t.add_argument('--train-cnn-after', type=int, default=2)
+    t.add_argument('--chkpnt-warmup', type=int, default=3)
+    t.add_argument('--chkpnt-epochs', type=int, default=2)
+    t.add_argument('--fine-tune-mit', action='store_true')
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser('score', help='score a trained model '
+                                     '(reference run.py score_model)')
+    s.add_argument('--train-dir', required=True)
+    s.add_argument('--source', default='DHF1K')
+    s.add_argument('--phase', default='valid')
+    s.add_argument('--batch-size', type=int, default=4)
+    s.add_argument('--n-batches', type=int, default=25)
+    s.set_defaults(fn=cmd_score)
+
+    pr = sub.add_parser('predict', help='saliency maps for a folder/video '
+                                        '(reference run.py predictions)')
+    pr.add_argument('path')
+    pr.add_argument('--out', default=None)
+    pr.add_argument('--unisal-weights', default=os.environ.get(
+        'UNISAL_WEIGHTS', ''))
+    pr.add_argument('--chunk', type=int, default=32)
+    pr.set_defaults(fn=cmd_predict)
 
     args = p.parse_args(argv)
     return args.fn(args)

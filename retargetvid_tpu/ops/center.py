@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from retargetvid_tpu.ops.resize import resize
+from retargetvid_tpu.ops.resize import resize_by_factor
 
 __all__ = ["center_of_mass"]
 
@@ -47,9 +47,9 @@ def center_of_mass(smaps, *, km: bool = True, factor: float = 2.0,
         return x, y, valid
 
     if factor != 1.0:
-        hh = max(int(h / factor), 1)
-        ww = max(int(w / factor), 1)
-        work = resize(smaps, (hh, ww), 'nearest')
+        # cv2 fx= call form: dst dims cvRound(src/factor), coords map with
+        # exactly `factor` (reference smartVidCrop.py:1186).
+        work = resize_by_factor(smaps, factor, 'nearest')
     else:
         work = smaps
 

@@ -35,7 +35,12 @@ import jax.numpy as jnp
 
 from retargetvid_tpu.ops.morphology import close as morph_close
 from retargetvid_tpu.ops.morphology import dilate as morph_dilate
-from retargetvid_tpu.ops.resize import RESIZE_TYPE_TO_METHOD, resize
+from retargetvid_tpu.ops.resize import (
+    RESIZE_TYPE_TO_METHOD,
+    resize,
+    resize_by_factor,
+    round_half_up,
+)
 
 __all__ = ["connected_components", "clustering_filter"]
 
@@ -180,11 +185,9 @@ def clustering_filter(smaps,
     method = RESIZE_TYPE_TO_METHOD.get(resize_type, 'linear')
     work = smaps
     if resize_factor != 1.0:
-        hh = int(round(h / resize_factor))
-        ww = int(round(w / resize_factor))
-        work = resize(smaps, (hh, ww), method)
+        work = resize_by_factor(smaps, resize_factor, method)
         # uint8 saturation parity with cv2's fixed-point resize output
-        work = jnp.clip(jnp.round(work), 0, 255)
+        work = jnp.clip(round_half_up(work), 0, 255)
 
     filt = functools.partial(
         _filter_one, min_cluster_size=min_cluster_size,
@@ -201,7 +204,7 @@ def clustering_filter(smaps,
 
     if resize_factor != 1.0:
         out = resize(out_small, (h, w), 'linear')
-        out = jnp.clip(jnp.round(out), 0, 255)
+        out = jnp.clip(round_half_up(out), 0, 255)
     else:
         out = out_small
     return out

@@ -20,16 +20,36 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize", "resize_matrix"]
+__all__ = ["resize", "resize_matrix", "resize_by_factor",
+           "factor_dst_size", "round_half_up"]
 
 
-def _linear_matrix(src: int, dst: int) -> np.ndarray:
-    """cv2 INTER_LINEAR: half-pixel centers, 2-tap, edge clamped."""
+def round_half_up(x):
+    """uint8 quantization with cv2/PIL semantics.
+
+    cv2's fixed-point resize descales with ``(acc + (1 << 21)) >> 22`` and
+    PIL adds ``0.5`` before the int cast — both are floor(x + 0.5), NOT
+    numpy's round-half-to-even; the difference flips ~half of the exact-.5
+    averages a power-of-two downscale produces (measured by
+    tools/parity_ablation.py as ~1px center drift at resize_factor=4).
+    """
+    import jax.numpy as jnp
+    return jnp.floor(x + 0.5)
+
+
+def _linear_matrix(src: int, dst: int, scale=None) -> np.ndarray:
+    """cv2 INTER_LINEAR: half-pixel centers, 2-tap, edge clamped.
+
+    ``scale`` defaults to src/dst (cv2's dsize call form); pass it explicitly
+    to reproduce the ``fx=``/``fy=`` call form, where cv2 maps coordinates
+    with exactly 1/fx even though dst = round(src*fx) makes src/dst differ
+    (e.g. 250 -> 62 at fx=0.25 samples with scale 4.0, not 250/62).
+    """
     a = np.zeros((dst, src), dtype=np.float32)
     if src == 1:
         a[:, 0] = 1.0
         return a
-    scale = src / dst
+    scale = src / dst if scale is None else float(scale)
     for d in range(dst):
         sx = (d + 0.5) * scale - 0.5
         x0 = int(np.floor(sx))
@@ -41,10 +61,10 @@ def _linear_matrix(src: int, dst: int) -> np.ndarray:
     return a
 
 
-def _nearest_matrix(src: int, dst: int) -> np.ndarray:
+def _nearest_matrix(src: int, dst: int, scale=None) -> np.ndarray:
     """cv2 INTER_NEAREST: sx = floor(dx * scale)."""
     a = np.zeros((dst, src), dtype=np.float32)
-    scale = src / dst
+    scale = src / dst if scale is None else float(scale)
     idx = np.minimum(np.floor(np.arange(dst) * scale).astype(np.int64), src - 1)
     a[np.arange(dst), idx] = 1.0
     return a
@@ -59,13 +79,13 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
     return out
 
 
-def _cubic_matrix(src: int, dst: int) -> np.ndarray:
+def _cubic_matrix(src: int, dst: int, scale=None) -> np.ndarray:
     """cv2 INTER_CUBIC: half-pixel centers, 4-tap Keys kernel, edge clamped."""
     a = np.zeros((dst, src), dtype=np.float32)
     if src == 1:
         a[:, 0] = 1.0
         return a
-    scale = src / dst
+    scale = src / dst if scale is None else float(scale)
     for d in range(dst):
         sx = (d + 0.5) * scale - 0.5
         x0 = int(np.floor(sx))
@@ -82,12 +102,12 @@ def _lanczos_kernel(x: np.ndarray, support: float = 3.0) -> np.ndarray:
     return np.where(np.abs(x) < support, out, 0.0)
 
 
-def _lanczos_matrix(src: int, dst: int) -> np.ndarray:
+def _lanczos_matrix(src: int, dst: int, scale=None) -> np.ndarray:
     """PIL LANCZOS (support 3): kernel stretched by the scale on downsize,
     weights normalized per output pixel — matches PIL's separable resample.
     """
     a = np.zeros((dst, src), dtype=np.float64)
-    scale = src / dst
+    scale = src / dst if scale is None else float(scale)
     filterscale = max(scale, 1.0)
     support = 3.0 * filterscale
     for d in range(dst):
@@ -116,15 +136,59 @@ RESIZE_TYPE_TO_METHOD = {1: 'linear', 2: 'cubic', 3: 'nearest'}
 
 
 @functools.lru_cache(maxsize=256)
-def _resize_matrix_np(src: int, dst: int, method: str) -> np.ndarray:
+def _resize_matrix_np(src: int, dst: int, method: str,
+                      scale=None) -> np.ndarray:
     if method not in _BUILDERS:
         raise ValueError(f'unknown resize method {method!r}')
-    return _BUILDERS[method](src, dst)
+    return _BUILDERS[method](src, dst, scale)
 
 
-def resize_matrix(src: int, dst: int, method: str = 'linear') -> jnp.ndarray:
-    """The (dst, src) interpolation matrix for one axis."""
-    return jnp.asarray(_resize_matrix_np(src, dst, method))
+def resize_matrix(src: int, dst: int, method: str = 'linear',
+                  scale=None) -> jnp.ndarray:
+    """The (dst, src) interpolation matrix for one axis.
+
+    ``scale`` overrides the coordinate-mapping scale (cv2 ``fx=`` semantics);
+    by default it is src/dst (cv2 ``dsize`` semantics).
+    """
+    return jnp.asarray(_resize_matrix_np(src, dst, method, scale))
+
+
+def factor_dst_size(h: int, w: int, factor: float):
+    """Output dims of ``cv2.resize(img, None, fx=1/factor, fy=1/factor)``:
+    cvRound (round-half-to-even) of src/factor."""
+    return (_cv_round(h / factor), _cv_round(w / factor))
+
+
+def _cv_round(v: float) -> int:
+    import decimal
+    return int(decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_EVEN))
+
+
+def resize_by_factor(img, factor: float, method: str = 'linear',
+                     channels_last=None):
+    """The reference's ``cv2.resize(img, None, fx=1/factor, fy=1/factor)``:
+    dst dims are cvRound(src/factor) but coordinates map with exactly
+    ``factor`` (``smartVidCrop.py:1078-1084, 1186``), which differs from the
+    dsize form whenever src/factor is fractional.
+    """
+    img = jnp.asarray(img)
+    if channels_last is None:
+        channels_last = img.ndim >= 3 and img.shape[-1] <= 4
+    if channels_last:
+        h_in, w_in = img.shape[-3], img.shape[-2]
+    else:
+        h_in, w_in = img.shape[-2], img.shape[-1]
+    h_out, w_out = factor_dst_size(h_in, w_in, factor)
+    a_h = resize_matrix(h_in, h_out, method, scale=factor)
+    a_w = resize_matrix(w_in, w_out, method, scale=factor)
+    x = img.astype(jnp.float32)
+    if channels_last:
+        x = jnp.einsum('Hh,...hwc->...Hwc', a_h, x)
+        x = jnp.einsum('Ww,...hwc->...hWc', a_w, x)
+    else:
+        x = jnp.einsum('Hh,...hw->...Hw', a_h, x)
+        x = jnp.einsum('Ww,...hw->...hW', a_w, x)
+    return x
 
 
 def resize(img, out_hw, method: str = 'linear',

@@ -33,7 +33,12 @@ from retargetvid_tpu.ops.filters import smooth_segments
 from retargetvid_tpu.ops.focus import jump_saliency_scores
 from retargetvid_tpu.ops.interpolate import interpolate_segments
 from retargetvid_tpu.ops.morphology import close as morph_close
-from retargetvid_tpu.ops.resize import RESIZE_TYPE_TO_METHOD, resize
+from retargetvid_tpu.ops.resize import (
+    RESIZE_TYPE_TO_METHOD,
+    resize,
+    resize_by_factor,
+    round_half_up,
+)
 from retargetvid_tpu.ops.temporal import fill_empty_centers, freeze_unstable_segments
 from retargetvid_tpu.ops.threshold import threshold_saliency
 
@@ -105,15 +110,27 @@ class GeometryConfig:
         )
 
 
-def _cut_boundary_fixup(raw, filtered, cut_mask, fc_sel, cfg: GeometryConfig):
+def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
+                        cfg: GeometryConfig):
     """Reproduce the sequential averaging of ``smartVidCrop.py:2369-2373``.
 
     For each i (in order): if i < fc_sel-2 and a cut index lies in
-    {i-1, i, i+1}, frame i+1's filter INPUT becomes trunc((raw[i+1]+out[i])/2).
-    Only those frames are recomputed; the rest keep the parallel pass-1
-    result.
+    {i-1, i, i+1}, frame i+1's filter INPUT becomes the uint8 average of the
+    raw frame i+1 and frame i's OUTPUT.  Reference quirks reproduced exactly
+    (measured by ``tools/parity_ablation.py`` to move final boxes by 1-5 px
+    otherwise):
+
+    - the sum wraps modulo 256 — the reference adds two uint8 maps before
+      the float cast (``(VD['smaps'][:,:,i+1] + VD['smaps'][:,:,i])``), so
+      pixels whose values sum past 255 alias;
+    - the averaging happens at FULL process resolution, after the clustering
+      filter's ``resize_factor`` upscale; the averaged map then goes through
+      the filter's full downscale -> cluster -> upscale roundtrip.
+
+    Only the affected frames are recomputed in the scan; the rest keep the
+    parallel pass-1 result.
     """
-    t = raw.shape[0]
+    t, h, w = raw_full.shape
     idx = jnp.arange(t)
     prev_cut = jnp.concatenate([jnp.zeros(1, bool), cut_mask[:-1]])
     next_cut = jnp.concatenate([cut_mask[1:], jnp.zeros(1, bool)])
@@ -128,21 +145,36 @@ def _cut_boundary_fixup(raw, filtered, cut_mask, fc_sel, cfg: GeometryConfig):
         bridge=cfg.bridge,
         cc_iters=cfg.cc_iters)
     min_points = cfg.hdbscan_min + 1
+    method = RESIZE_TYPE_TO_METHOD.get(cfg.resize_type, 'linear')
 
-    def refilter(inp):
+    def refilter(inp_full):
+        if cfg.resize_factor != 1.0:
+            inp = jnp.clip(round_half_up(
+                resize_by_factor(inp_full, cfg.resize_factor, method)),
+                0, 255)
+        else:
+            inp = inp_full
         out, any_valid, n_points = filt(inp)
         if cfg.op_close:
             out = jnp.where(any_valid, morph_close(out, 5), out)
-        return jnp.where((n_points > min_points) & any_valid, out, inp)
+        out = jnp.where((n_points > min_points) & any_valid, out, inp)
+        if cfg.resize_factor != 1.0:
+            out = jnp.clip(round_half_up(resize(out, (h, w), 'linear')), 0, 255)
+        # Empty maps skip the reference's resize roundtrip entirely
+        # (smartVidCrop.py:1064-1065); zeros are roundtrip-invariant, so only
+        # the all-zero input case needs no special handling.
+        return out
 
     def step(prev_out, xs):
         raw_i, pass1_i, redo_i = xs
         inp = jnp.where(redo_i,
-                        jnp.trunc((raw_i + prev_out) / 2.0), raw_i)
+                        jnp.trunc(jnp.mod(raw_i + prev_out, 256.0) / 2.0),
+                        raw_i)
         out = jax.lax.cond(redo_i, refilter, lambda v: pass1_i, inp)
         return out, out
 
-    _, outs = jax.lax.scan(step, raw[0] * 0.0, (raw, filtered, needs_redo))
+    _, outs = jax.lax.scan(step, raw_full[0] * 0.0,
+                           (raw_full, pass1_full, needs_redo))
     return outs
 
 
@@ -169,10 +201,8 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
     if cfg.clust_filt:
         method = RESIZE_TYPE_TO_METHOD.get(cfg.resize_type, 'linear')
         if cfg.resize_factor != 1.0:
-            hh = int(round(h / cfg.resize_factor))
-            ww = int(round(w / cfg.resize_factor))
-            work = resize(sm, (hh, ww), method)
-            work = jnp.clip(jnp.round(work), 0, 255)
+            work = resize_by_factor(sm, cfg.resize_factor, method)
+            work = jnp.clip(round_half_up(work), 0, 255)
         else:
             work = sm
 
@@ -186,22 +216,22 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
             filtered = jnp.where(any_valid[:, None, None], closed, filtered)
         use = (n_points > cfg.hdbscan_min + 1) & any_valid
         pass1 = jnp.where(use[:, None, None], filtered, work)
+        if cfg.resize_factor != 1.0:
+            pass1 = jnp.clip(round_half_up(resize(pass1, (h, w), 'linear')),
+                             0, 255)
 
         # cut mask over selected-frame indices (segment starts + last end)
-        cut_idx = jnp.arange(work.shape[0])
-        cut_mask = jnp.zeros((work.shape[0],), bool)
+        cut_mask = jnp.zeros((t_sel_pad,), bool)
         live_seg = jnp.arange(seg_sel_starts.shape[0]) < n_segments
-        cut_mask = cut_mask.at[jnp.clip(seg_sel_starts, 0, work.shape[0] - 1)
+        cut_mask = cut_mask.at[jnp.clip(seg_sel_starts, 0, t_sel_pad - 1)
                                ].max(live_seg)
-        last_end = jnp.clip(fc_sel - 1, 0, work.shape[0] - 1)
+        last_end = jnp.clip(fc_sel - 1, 0, t_sel_pad - 1)
         cut_mask = cut_mask.at[last_end].set(True)
 
-        work = _cut_boundary_fixup(work, pass1, cut_mask, fc_sel, cfg)
-
-        if cfg.resize_factor != 1.0:
-            sm = jnp.clip(jnp.round(resize(work, (h, w), 'linear')), 0, 255)
-        else:
-            sm = work
+        # The sequential averaging runs at full process resolution on the
+        # upscaled pass-1 outputs (reference order: filter -> upscale ->
+        # average into the next frame's stored uint8 map).
+        sm = _cut_boundary_fixup(sm, pass1, cut_mask, fc_sel, cfg)
 
     # 3. centers (smartVidCrop.py:2402-2414)
     cx, cy, valid = center_of_mass(

@@ -33,6 +33,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from retargetvid_tpu.ops.resize import round_half_up
 from retargetvid_tpu.ops.scenes import (
     fix_scene_bounds,
     predictions_to_scenes,
@@ -60,7 +61,7 @@ def _resize_kernel(h: int, w: int, sal_h: int, sal_w: int):
         x = jnp.asarray(frames)
         tn = resize(x, (TRANSNET_H, TRANSNET_W), 'linear')
         sal = resize(x, (sal_h, sal_w), 'linear')
-        to_u8 = lambda v: jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8)
+        to_u8 = lambda v: jnp.clip(round_half_up(v), 0, 255).astype(jnp.uint8)
         return to_u8(tn), to_u8(sal)
 
     return jax.jit(fn)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from retargetvid_tpu.models.unisal import UNISAL
-from retargetvid_tpu.ops.resize import resize
+from retargetvid_tpu.ops.resize import resize, round_half_up
 
 __all__ = ["get_optimal_out_size", "preprocess_frames", "SaliencyPredictor",
            "IMAGENET_MEAN", "IMAGENET_STD"]
@@ -56,7 +56,7 @@ def preprocess_frames(frames, out_size: Tuple[int, int]):
     ToTensor), /255, ImageNet normalize.
     """
     x = resize(jnp.asarray(frames), out_size, 'lanczos')
-    x = jnp.clip(jnp.round(x), 0, 255) / 255.0
+    x = jnp.clip(round_half_up(x), 0, 255) / 255.0
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
     return (x - mean) / std

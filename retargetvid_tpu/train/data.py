@@ -31,6 +31,7 @@ __all__ = [
     "MemoryImageDataset", "MemoryFramesDataset",
     "FolderImageDataset", "FolderVideoDataset",
     "DHF1KDataset", "SALICONDataset", "HollywoodDataset", "UCFSportsDataset",
+    "MIT1003Dataset", "MIT300Dataset", "ImgSizeBatchSampler",
 ]
 
 _IMG_EXTS = ('.png', '.jpg', '.jpeg', '.bmp')
@@ -169,15 +170,23 @@ class _SaliencyFolderDataset:
                                        n),
                                    self.frame_modulo))[:self.seq_len]
             frames = self._load_frames(img_dir, frame_nrs)
-            sal = self._load_frames(map_dir, frame_nrs)[..., :1]
-            fix = self._load_frames(fix_dir, frame_nrs)[..., :1]
+            sal = self._load_frames(map_dir, frame_nrs)[..., 0]
+            fix = self._load_frames(fix_dir, frame_nrs)[..., 0]
             out_size = get_optimal_out_size(frames.shape[1:3])
             x = np.asarray(preprocess_frames(frames, out_size))
-            sal = sal.astype(np.float32)
-            sal = sal / np.maximum(sal.sum(axis=(1, 2, 3), keepdims=True), 1)
+            # Targets resize to the network grid like the reference's
+            # preprocessing (LANCZOS saliency, NEAREST fixations,
+            # unisal/data.py:preprocess) and normalize to a distribution.
+            from retargetvid_tpu.ops.resize import resize
+            sal = np.asarray(resize(sal.astype(np.float32), out_size,
+                                    'lanczos'))
+            sal = np.clip(sal, 0, None)
+            sal = sal / np.maximum(sal.sum(axis=(1, 2), keepdims=True), 1)
+            fix = np.asarray(resize(fix.astype(np.float32), out_size,
+                                    'nearest'))
             xs.append(x)
-            sals.append(sal)
-            fixs.append((fix > 127).astype(np.float32))
+            sals.append(sal[..., None])
+            fixs.append((fix > 127).astype(np.float32)[..., None])
         return (np.stack(xs), np.stack(sals), np.stack(fixs))
 
 
@@ -202,3 +211,254 @@ class SALICONDataset(_SaliencyFolderDataset):
     source = 'SALICON'
     seq_len = 1
     frame_modulo = 1
+
+
+# ---------------------------------------------------------------------------
+# MIT1003 / MIT300 (reference unisal/data.py:237-516)
+# ---------------------------------------------------------------------------
+
+#: The restricted train-time grid of x32 network sizes
+#: (reference ``MIT1003Dataset.get_out_size_train``, data.py:426-441).
+_MIT_TRAIN_SIZES = ((8, 13), (9, 13), (9, 12), (12, 9), (13, 9))
+
+
+def _best_out_size(img_size, candidates):
+    ar = img_size[0] / img_size[1]
+    best, best_ratio = None, -1.0
+    for n1, n2 in candidates:
+        this_ar = n1 / n2
+        ratio = min(ar, this_ar) / max(ar, this_ar)
+        if ratio > best_ratio:
+            best_ratio = ratio
+            best = (n1, n2)
+    return (best[0] * 32, best[1] * 32)
+
+
+def _eval_size_grid():
+    return [(n1, n2) for n1 in range(7, 14) for n2 in range(7, 14)
+            if 100 <= n1 * n2 <= 120]
+
+
+class MIT1003Dataset:
+    """MIT1003 still-image saliency set with the reference's conventions
+    (``unisal/data.py:322-516``): images under ``ALLSTIMULI/ALLSTIMULI``
+    (``*.jpeg``), maps/points under ``ALLFIXATIONMAPS/ALLFIXATIONMAPS``
+    (``<stem>_fixMap.jpg`` / ``<stem>_fixPts.jpg``); 10-fold cross-validation
+    split seeded with 27; train-time out sizes from a restricted grid with
+    target size 2x, eval-time from the full [7,13]^2 grid with the original
+    size as target.
+    """
+
+    source = 'MIT1003'
+    n_train_val_images = 1003
+
+    def __init__(self, phase: str = 'train', subset=None, data_dir=None,
+                 n_x_val: int = 10, x_val_step: Optional[int] = 0,
+                 x_val_seed: int = 27):
+        self.phase = phase
+        self.train = phase == 'train'
+        data_dir = data_dir or os.environ.get('MIT1003_DATA_DIR')
+        if not data_dir:
+            raise FileNotFoundError('MIT1003_DATA_DIR is not set')
+        self.dir = Path(data_dir)
+        self.n_x_val = n_x_val
+        self.x_val_step = x_val_step
+        self.x_val_seed = x_val_seed
+
+        self.all_image_files = self._scan_files()
+        n_images = min(self.n_train_val_images, len(self.all_image_files))
+
+        # Cross-validation split (reference data.py:346-366).
+        if x_val_step is None:
+            self.samples = list(range(n_images))
+        else:
+            assert x_val_step < n_x_val
+            samples = np.arange(0, n_images)
+            if x_val_seed > 0:
+                rng = np.random.RandomState(x_val_seed)
+                rng.shuffle(samples)
+            val_start = int(len(samples) / n_x_val * x_val_step)
+            val_end = int(len(samples) / n_x_val * (x_val_step + 1))
+            samples = samples.tolist()
+            if not self.train:
+                self.samples = samples[val_start:val_end]
+            else:
+                del samples[val_start:val_end]
+                self.samples = samples
+        if subset is not None:
+            self.samples = self.samples[:int(len(self.samples) * subset)]
+
+        self.size_dict = self._compute_sizes()
+        self.target_size_dict = {
+            i: self.size_dict[i]['target_size'] for i in self.samples}
+        self.n_images_dict = {i: 1 for i in self.samples}
+        self.frame_modulo = 1
+
+    @property
+    def img_dir(self) -> Path:
+        return self.dir / 'ALLSTIMULI' / 'ALLSTIMULI'
+
+    @property
+    def fix_dir(self) -> Path:
+        return self.dir / 'ALLFIXATIONMAPS' / 'ALLFIXATIONMAPS'
+
+    def _scan_files(self):
+        files = []
+        for img_file in sorted(self.img_dir.glob('*.jpeg')):
+            entry = {
+                'img': img_file.name,
+                'map': img_file.stem + '_fixMap.jpg',
+                'pts': img_file.stem + '_fixPts.jpg',
+            }
+            assert (self.fix_dir / entry['map']).exists(), entry['map']
+            assert (self.fix_dir / entry['pts']).exists(), entry['pts']
+            files.append(entry)
+        if not files:
+            raise FileNotFoundError(f'no *.jpeg stimuli under {self.img_dir}')
+        return files
+
+    def _compute_sizes(self):
+        import cv2
+        size_dict = {}
+        for i in self.samples:
+            img = cv2.imread(str(self.img_dir / self.all_image_files[i]['img']))
+            img_size = img.shape[:2]
+            if self.phase in ('train', 'valid'):
+                out_size = _best_out_size(img_size, _MIT_TRAIN_SIZES)
+                target_size = tuple(s * 2 for s in out_size)
+            else:
+                out_size = _best_out_size(img_size, _eval_size_grid())
+                target_size = img_size
+            size_dict[i] = {'img_size': img_size, 'out_size': out_size,
+                            'target_size': target_size}
+        return size_dict
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_data(self, img_idx: int):
+        """(frame_nrs, x, sal, fix, target_size) for one image, preprocessed
+        like the reference (LANCZOS img/sal, NEAREST fix, normalize)."""
+        import cv2
+
+        from retargetvid_tpu.ops.resize import resize, round_half_up
+        import jax.numpy as jnp
+
+        entry = self.all_image_files[img_idx]
+        out_size = self.size_dict[img_idx]['out_size']
+        img = cv2.cvtColor(cv2.imread(str(self.img_dir / entry['img'])),
+                           cv2.COLOR_BGR2RGB)
+        sal = cv2.imread(str(self.fix_dir / entry['map']),
+                         cv2.IMREAD_GRAYSCALE)
+        fix = cv2.imread(str(self.fix_dir / entry['pts']),
+                         cv2.IMREAD_GRAYSCALE)
+        x = np.asarray(preprocess_frames(img[None], out_size))[0]
+        sal_r = np.asarray(jnp.clip(round_half_up(
+            resize(sal[None].astype(np.float32), out_size)), 0, 255))[0]
+        sal_r = sal_r / max(sal_r.sum(), 1.0)
+        fix_r = np.asarray(resize(fix[None].astype(np.float32), out_size,
+                                  'nearest'))[0]
+        fix_r = (fix_r > 127).astype(np.float32)
+        return ([1], x, sal_r[..., None], fix_r[..., None],
+                self.size_dict[img_idx]['target_size'])
+
+    def batches(self, batch_size: int = 4, shuffle: bool = True,
+                seed: int = 27):
+        """Same-out-size batch iterator (see :class:`ImgSizeBatchSampler`)."""
+        sampler = ImgSizeBatchSampler(self, batch_size=batch_size,
+                                      shuffle=shuffle, seed=seed)
+        for idx_batch in sampler:
+            items = [self.get_data(self.samples[i]) for i in idx_batch]
+            x = np.stack([it[1] for it in items])[:, None]
+            sal = np.stack([it[2] for it in items])[:, None]
+            fix = np.stack([it[3] for it in items])[:, None]
+            yield x, sal, fix
+
+
+class MIT300Dataset:
+    """MIT300 benchmark images (test only; reference ``data.py:237-319``):
+    ``BenchmarkIMAGES/*.jpg`` sorted by the numeric part of the stem, out
+    sizes from the full [7,13]^2 grid, original size as target."""
+
+    source = 'MIT300'
+
+    def __init__(self, phase: str = 'test', data_dir=None):
+        assert phase == 'test'
+        data_dir = data_dir or os.environ.get('MIT300_DATA_DIR')
+        if not data_dir:
+            raise FileNotFoundError('MIT300_DATA_DIR is not set')
+        self.dir = Path(data_dir) / 'BenchmarkIMAGES'
+        import cv2
+        file_list = sorted(self.dir.glob('*.jpg'),
+                           key=lambda x: int(x.stem[1:min(4, len(x.stem))]))
+        if not file_list:
+            raise FileNotFoundError(f'no *.jpg under {self.dir}')
+        self.samples = []
+        self.target_size_dict = {}
+        grid = _eval_size_grid()
+        for i, f in enumerate(file_list):
+            img = cv2.imread(str(f))
+            img_size = img.shape[:2]
+            self.samples.append((f.name, _best_out_size(img_size, grid)))
+            self.target_size_dict[i] = img_size
+        self.frame_modulo = 1
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_data(self, item: int):
+        import cv2
+        name, out_size = self.samples[item]
+        img = cv2.cvtColor(cv2.imread(str(self.dir / name)),
+                           cv2.COLOR_BGR2RGB)
+        x = np.asarray(preprocess_frames(img[None], out_size))[0]
+        return [1], x, self.target_size_dict[item]
+
+
+class ImgSizeBatchSampler:
+    """Group sample indices into batches of identical network out-size
+    (reference ``data.py:175-235``) — MIT1003 images vary in aspect, and a
+    batch must share one static shape to avoid a recompile per image on TPU
+    (the same constraint torch had for stacking, made stricter by XLA).
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 27):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+        out_sizes = [dataset.size_dict[i]['out_size']
+                     for i in dataset.samples]
+        self.out_size_set = sorted(set(out_sizes))
+        self.sample_idx_dict = {s: [] for s in self.out_size_set}
+        for sample_idx, out_size in enumerate(out_sizes):
+            self.sample_idx_dict[out_size].append(sample_idx)
+
+        self.len = 0
+        self.n_batches_dict = {}
+        for out_size, idxs in self.sample_idx_dict.items():
+            n = len(idxs) // self.batch_size
+            if not drop_last and len(idxs) % self.batch_size:
+                n += 1
+            self.len += n
+            self.n_batches_dict[out_size] = n
+
+    def __iter__(self):
+        import copy
+        rng = np.random.RandomState(self.seed if not self.shuffle else None)
+        batch_array = [s for s, n in self.n_batches_dict.items()
+                       for _ in range(n)]
+        rng.shuffle(batch_array)
+        pools = copy.deepcopy(self.sample_idx_dict)
+        for idxs in pools.values():
+            rng.shuffle(idxs)
+        for out_size in batch_array:
+            batch = pools[out_size][:self.batch_size]
+            del pools[out_size][:self.batch_size]
+            if batch:
+                yield batch
+
+    def __len__(self):
+        return self.len

@@ -35,9 +35,11 @@ def measure_runtime(model, variables, *, input_hw=(256, 416),
                 dev = jax.devices()[0]
         except RuntimeError:
             continue
-        v = jax.device_put(variables, dev)
-        xx = jax.device_put(x, dev)
-        fn = jax.jit(fwd, device=dev) if hasattr(jax, 'jit') else fwd
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+        v = jax.device_put(variables, sharding)
+        xx = jax.device_put(x, sharding)
+        # Placement rides the input shardings (jit's `device=` is gone).
+        fn = jax.jit(fwd)
         np.asarray(fn(v, xx))                       # compile
         t0 = time.perf_counter()
         for _ in range(n_iters):

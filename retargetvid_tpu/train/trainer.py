@@ -206,6 +206,28 @@ def make_train_step(model: UNISAL, tx, *, source: str,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_eval_step(model: UNISAL, *, source: str,
+                   loss_weights=(1.0, -0.1, -0.1),
+                   metrics=('kld', 'nss', 'cc'),
+                   static_batch: Optional[bool] = None) -> Callable:
+    """Jitted forward-only loss evaluation (the reference's valid phase:
+    ``fit_sample`` under ``torch.set_grad_enabled(False)``, train.py:356-366).
+    """
+    def step(params, batch_stats, x, sal, fix):
+        variables = {'params': params, 'batch_stats': batch_stats}
+        static = x.shape[1] == 1 if static_batch is None else static_batch
+        logp, _ = model.apply(variables, x, source=source, static=static)
+        summands = [jnp.mean(s)
+                    for s in loss_sequences(logp, sal, fix, metrics)]
+        loss = sum(wt * s for wt, s in zip(loss_weights, summands))
+        out = {'loss': loss}
+        for name, val in zip(metrics, summands):
+            out[name] = val
+        return out
+
+    return jax.jit(step)
+
+
 class Trainer(KwConfig):
     """Host-side training loop with the reference's multi-source schedule."""
 
@@ -245,6 +267,14 @@ class Trainer(KwConfig):
         self.state: Optional[TrainState] = None
         self._tx = None
 
+        # Loop bookkeeping (reference train.py:190-205).
+        self.epoch = 0
+        self.best_epoch = 0
+        self.best_val_score = None
+        self.is_best = False
+        self.history: list = []
+        self.mit1003_finetuned = False
+
     # -- setup -----------------------------------------------------------
     def init_state(self, rng_seed: int = 0, example_shape=(1, 1, 224, 416, 3),
                    variables: Optional[dict] = None) -> TrainState:
@@ -280,6 +310,245 @@ class Trainer(KwConfig):
                 'UCFSports': self.ucfsports_weight}.get(source, 1.0)
 
     # -- training --------------------------------------------------------
+    def fit(self, dataloaders, train_dir, *, rng_seed: int = 0,
+            chkpnt_warmup: int = 3, chkpnt_epochs: int = 2,
+            shuffle_datasets: bool = True):
+        """The reference's full training loop (``train.py:223-354``).
+
+        ``dataloaders``: ``{source: {'train': factory, 'valid': factory}}``
+        where each factory is a zero-arg callable returning an iterator of
+        ``(x, sal, fix)`` numpy batches and exposes ``n_batches`` (or
+        supports ``len``).  Per epoch: multi-source batch interleaving
+        (round-robin ``zip_longest`` over sources, shuffled), a train phase
+        and a valid phase; after warmup, the DHF1K valid loss selects the
+        best weights (saved to ``train_dir``); checkpoints follow the
+        reference's warmup/period rule; scalars export at the end.
+
+        Returns the best validation score (``-val_loss``, reference
+        ``fit:245``).
+        """
+        train_dir = Path(train_dir)
+        train_dir.mkdir(parents=True, exist_ok=True)
+        rng = jax.random.PRNGKey(rng_seed)
+        pyrng = np.random.default_rng(rng_seed)
+
+        n_train = sum(self._n_batches(dataloaders[s].get('train'))
+                      for s in dataloaders)
+        if self.state is None:
+            self.steps_per_epoch = max(n_train, 1)
+            self.init_state()
+        self.save_cfg(train_dir)
+
+        while self.epoch < self.num_epochs:
+            rng, sub = jax.random.split(rng)
+            self.fit_full_epoch(dataloaders, train_dir, sub, pyrng,
+                                chkpnt_warmup=chkpnt_warmup,
+                                shuffle_datasets=shuffle_datasets)
+            if (self.epoch >= chkpnt_warmup
+                    and (self.epoch + 1) % chkpnt_epochs == 0) \
+                    or self.epoch == self.num_epochs - 1:
+                self.save_chkpnt(train_dir, self.epoch)
+            self.epoch += 1
+
+        self.export_scalars(train_dir, self.history)
+        return self.best_val_score
+
+    @staticmethod
+    def _n_batches(factory) -> int:
+        if factory is None:
+            return 0
+        n = getattr(factory, 'n_batches', None)
+        if n is None:
+            n = len(factory)
+        return int(n)
+
+    def _interleave(self, dataloaders, phase: str, pyrng,
+                    shuffle_datasets: bool):
+        """The reference's batch schedule (``train.py:278-287``): round-robin
+        ``zip_longest`` over the sources' batch counts, then shuffled."""
+        from itertools import chain, zip_longest
+
+        sources = [s for s in dataloaders if phase in dataloaders[s]]
+        counts = {s: self._n_batches(dataloaders[s][phase]) for s in sources}
+        schedule = [s for s in chain.from_iterable(zip_longest(
+            *[[s] * counts[s] for s in sources])) if s is not None]
+        if shuffle_datasets:
+            pyrng.shuffle(schedule)
+        iters = {s: iter(dataloaders[s][phase]()) for s in sources}
+        return schedule, iters
+
+    def fit_full_epoch(self, dataloaders, train_dir, rng, pyrng, *,
+                       chkpnt_warmup: int = 3, shuffle_datasets: bool = True):
+        """One epoch = train phase + valid phase (reference ``fit_epoch``)."""
+        epoch_scalars: dict = {}
+        for phase in ('train', 'valid'):
+            stats = self.fit_phase(dataloaders, phase, rng, pyrng,
+                                   shuffle_datasets=shuffle_datasets)
+            for src, vals in stats.items():
+                key = 'conv' if src == 'DHF1K' else src.lower()
+                epoch_scalars[f'{key}/loss/{phase}'] = vals['loss']
+                for name in self.loss_metrics:
+                    epoch_scalars[f'{key}/{name}/{phase}'] = vals[name]
+
+            # Best-weights selection on the DHF1K (or sole-source) valid
+            # loss after warmup (reference train.py:340-354).
+            sel_src = 'DHF1K' if 'DHF1K' in stats else \
+                (list(stats)[0] if len(stats) == 1 else None)
+            if phase == 'valid' and sel_src is not None and \
+                    self.epoch >= chkpnt_warmup and sel_src in stats:
+                val_score = -stats[sel_src]['loss']
+                if self.best_val_score is None:
+                    self.best_val_score = val_score
+                elif val_score > self.best_val_score:
+                    self.best_val_score = val_score
+                    self.is_best = True
+                    self.save_weights(train_dir, 'best')
+                    with open(Path(train_dir) / 'best_epoch.dat', 'w') as fp:
+                        fp.write(str(self.epoch))
+                    with open(Path(train_dir) / 'best_val_loss.dat',
+                              'w') as fp:
+                        fp.write(str(val_score))
+                else:
+                    self.is_best = False
+        self.history.append(epoch_scalars)
+
+    def fit_phase(self, dataloaders, phase: str, rng, pyrng, *,
+                  shuffle_datasets: bool = True) -> dict:
+        """Run one train or valid phase over the interleaved schedule.
+
+        Returns per-source mean metrics.  MIT1003 batches run under the
+        SALICON domain (reference ``train.py:300``).
+        """
+        schedule, iters = self._interleave(dataloaders, phase, pyrng,
+                                           shuffle_datasets)
+        train_cnn = self.epoch >= self.train_cnn_after
+        running: dict = {}
+        counts: dict = {}
+        for src in schedule:
+            x, sal, fix = next(iters[src])
+            x = jnp.asarray(x)
+            sal = jnp.asarray(sal)
+            fix = jnp.asarray(fix)
+            model_src = 'SALICON' if src == 'MIT1003' else src
+            static = x.shape[1] == 1
+            if phase == 'train':
+                rng, sub = jax.random.split(rng)
+                step = self.step_fn(model_src, static, train_cnn)
+                self.state, m = step(self.state, x, sal, fix, sub)
+            else:
+                key = ('eval', model_src, static)
+                if key not in self._steps:
+                    self._steps[key] = make_eval_step(
+                        self.model.clone(bn_train=False), source=model_src,
+                        loss_weights=self.loss_weights,
+                        metrics=self.loss_metrics, static_batch=static)
+                m = self._steps[key](self.state.params,
+                                     self.state.batch_stats, x, sal, fix)
+            b = int(x.shape[0])
+            acc = running.setdefault(src, {k: 0.0 for k in m})
+            for k, v in m.items():
+                acc[k] += float(v) * b
+            counts[src] = counts.get(src, 0) + b
+        return {src: {k: v / counts[src] for k, v in acc.items()}
+                for src, acc in running.items()}
+
+    def fine_tune_mit(self, dataloaders, train_dir, *, lr: float = 0.01,
+                      num_epochs: int = 8, lr_gamma: float = 0.8,
+                      train_cnn_after: int = 0, rng_seed: int = 0):
+        """MIT1003 fine-tuning for MIT300 submission (reference
+        ``train.py:1326-1392``): kld-only loss, lr 0.01, best weights loaded
+        first, best val tracked per epoch.
+
+        ``dataloaders``: ``{'MIT1003': {'train': ..., 'valid': ...}}``.
+        Returns ``(best_val, best_epoch)``.
+        """
+        self.lr = lr
+        self.num_epochs = num_epochs
+        self.lr_gamma = lr_gamma
+        self.loss_weights = (1.0,)
+        self.loss_metrics = ('kld',)
+        self.data_sources = ('MIT1003',)
+        self.train_cnn_after = train_cnn_after
+        self.mit1003_finetuned = True
+        self.epoch = 0
+
+        train_dir = Path(train_dir)
+        try:
+            self.load_weights(train_dir / 'weights_best.pkl')
+        except FileNotFoundError:
+            pass                       # reference: fall back to last chkpnt
+
+        n_train = self._n_batches(dataloaders['MIT1003'].get('train'))
+        self.steps_per_epoch = max(n_train, 1)
+        if self.state is None:
+            self.init_state()
+        else:                          # new optimizer recipe over old params
+            self.reconfigure_optimizer()
+
+        rng = jax.random.PRNGKey(rng_seed)
+        pyrng = np.random.default_rng(rng_seed)
+        best_epoch, best_val = None, None
+        while self.epoch < self.num_epochs:
+            rng, sub = jax.random.split(rng)
+            stats = {}
+            for phase in ('train', 'valid'):
+                stats[phase] = self.fit_phase(dataloaders, phase, sub, pyrng)
+            val_loss = stats['valid'].get('MIT1003', {}).get(
+                'loss', float('nan'))
+            self.history.append({'mit1003/loss/train':
+                                 stats['train'].get('MIT1003', {}).get(
+                                     'loss', float('nan')),
+                                 'mit1003/loss/valid': val_loss})
+            if np.isnan(val_loss):     # reference train.py:1377-1380
+                best_epoch, best_val = 0, 1000
+                break
+            val_score = -val_loss
+            if self.best_val_score is None:
+                self.best_val_score = val_score
+            elif val_score > self.best_val_score:
+                self.best_val_score = val_score
+                best_epoch, best_val = self.epoch, val_loss
+                self.save_weights(train_dir, 'best')
+            self.epoch += 1
+        self.export_scalars(train_dir, self.history)
+        return best_val, best_epoch
+
+    def reconfigure_optimizer(self):
+        """Rebuild the optimizer (e.g. after fine-tune reconfig) keeping
+        the current parameters; momentum/schedule state restarts."""
+        self._tx = make_optimizer(
+            self.state.params, lr=self.lr, momentum=self.momentum,
+            lr_gamma=self.lr_gamma, steps_per_epoch=self.steps_per_epoch,
+            weight_decay=self.weight_decay,
+            cnn_weight_decay=self.cnn_weight_decay,
+            cnn_lr_factor=self.cnn_lr_factor, grad_clip=self.grad_clip)
+        self._steps = {}
+        self.state = TrainState(
+            params=self.state.params, batch_stats=self.state.batch_stats,
+            opt_state=self._tx.init(self.state.params), step=self.state.step)
+
+    # -- weights (reference model.py:26-49) --------------------------------
+    def save_weights(self, directory, name: str = 'best') -> Path:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        path = directory / f'weights_{name}.pkl'
+        tree = jax.tree_util.tree_map(np.asarray, {
+            'params': self.state.params,
+            'batch_stats': self.state.batch_stats})
+        with open(path, 'wb') as fp:
+            pickle.dump(tree, fp)
+        return path
+
+    def load_weights(self, path):
+        with open(path, 'rb') as fp:
+            tree = pickle.load(fp)
+        if self.state is None:
+            self.init_state()
+        self.state = TrainState(
+            params=tree['params'], batch_stats=tree['batch_stats'],
+            opt_state=self.state.opt_state, step=self.state.step)
+        return self.state
+
     def fit_epoch(self, batches, epoch: int, rng) -> dict:
         """Run one epoch over an iterable of (source, x, sal, fix) batches."""
         train_cnn = epoch >= self.train_cnn_after
