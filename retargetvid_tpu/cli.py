@@ -32,7 +32,7 @@ def _build_models(args):
     """Construct (transnet_fn, saliency_fn) with optional weights."""
     import jax
 
-    from retargetvid_tpu.models.transnet import TransNetV1, predict_video_windows
+    from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
     from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
 
     variables = None
@@ -62,11 +62,7 @@ def _build_models(args):
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
         print(' WARNING: no --transnet-weights; using random init')
-    apply_fn = jax.jit(lambda batch: model.apply(params, batch))
-
-    def transnet_fn(frames):
-        return predict_video_windows(apply_fn, frames)
-
+    transnet_fn = TransNetPredictor(model, params)
     return transnet_fn, predictor.predict
 
 

@@ -54,13 +54,14 @@ class ShardedClipRunner:
         from retargetvid_tpu.pipeline.fused import make_clip_fn
 
         fn = make_clip_fn(
-            self.model, self.variables, source=self.source, dtype=self.dtype,
+            self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
             t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
             w_final=w_final, h_final=h_final)
         clip_sharding = NamedSharding(self.mesh, P('dp'))
-        return jax.jit(jax.vmap(fn),
-                       in_shardings=(clip_sharding,) * 11,
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(jax.vmap(fn, in_axes=(None,) + (0,) * 11),
+                       in_shardings=(rep,) + (clip_sharding,) * 11,
                        out_shardings=clip_sharding)
 
     def run_batch(self, clips, crop_params: dict, *, fps: float,
@@ -114,7 +115,8 @@ class ShardedClipRunner:
         fn = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw, cfg,
                             float(fps), int(h_orig), int(w_orig),
                             int(w_final), int(h_final))
-        out = fn(stack('sal_frames', lambda c: jnp.asarray(c['sal_frames'])),
+        out = fn(self.variables,
+                 stack('sal_frames', lambda c: jnp.asarray(c['sal_frames'])),
                  stack('sel', sel_idx), stack('mask', sel_mask),
                  jnp.asarray([len(c['selected']) for c in clips], jnp.int32),
                  stack('ti', ti),

@@ -26,13 +26,14 @@ from retargetvid_tpu.pipeline.geometry import (
     GeometryConfig,
     bucket_size,
     geometry_pipeline,
+    seg_bucket_size,
 )
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
 __all__ = ["FusedClipProgram", "make_clip_fn"]
 
 
-def make_clip_fn(model, variables, *, source: str, dtype,
+def make_clip_fn(model, *, source: str, dtype,
                  t_border: int, cfg: GeometryConfig,
                  in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                  t_out: int, fps: float, h_orig: int, w_orig: int,
@@ -44,7 +45,7 @@ def make_clip_fn(model, variables, *, source: str, dtype,
     :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner`.
     """
 
-    def fn(sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
+    def fn(variables, sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
            seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
            n_segments, fc):
         # Gather sampled frames (large contiguous rows -> efficient).
@@ -79,6 +80,35 @@ def make_clip_fn(model, variables, *, source: str, dtype,
     return fn
 
 
+def pack_clip_outputs(out: dict):
+    """Flatten the per-clip output dict into ONE float32 vector.
+
+    Each device->host fetch pays a full relay/PCIe round trip; the 11 small
+    outputs cost far more in latency than in bytes, so they ship as a single
+    buffer.  Box coordinates are < 2^24 so the int->float32 round trip is
+    exact.  Returns (vector, spec) where spec maps keys to (offset, shape).
+    """
+    spec = {}
+    parts = []
+    off = 0
+    for k in ('boxes', 'dx', 'dy', 'dxs', 'dys', 'dxi', 'dyi', 'jumps',
+              'mean_sal', 'fbb_w', 'fbb_h'):
+        v = jnp.asarray(out[k], jnp.float32).reshape(-1)
+        spec[k] = (off, tuple(np.shape(out[k])))
+        parts.append(v)
+        off += v.shape[0]
+    return jnp.concatenate(parts), spec
+
+
+def unpack_clip_outputs(vec: np.ndarray, spec: dict) -> dict:
+    out = {}
+    for k, (off, shape) in spec.items():
+        n = int(np.prod(shape)) if shape else 1
+        v = vec[off:off + n].reshape(shape)
+        out[k] = v.astype(np.int32) if k == 'boxes' else v
+    return out
+
+
 class FusedClipProgram:
     """Compile-once runner for the post-shot-detection clip pipeline."""
 
@@ -101,16 +131,37 @@ class FusedClipProgram:
                   cfg: GeometryConfig, fps: float,
                   h_orig: int, w_orig: int, w_final: int, h_final: int):
         fn = make_clip_fn(
-            self.model, self.variables, source=self.source, dtype=self.dtype,
+            self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
             t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
             w_final=w_final, h_final=h_final)
-        return jax.jit(fn)
+        # Parameters enter as a jit argument: closed-over device arrays would
+        # lower as MLIR constants, round-tripping the weights through the
+        # host on every compile (tens of seconds on the tunneled link).
+        spec_holder = {}
+
+        def packed(*args):
+            vec, spec = pack_clip_outputs(fn(*args))
+            spec_holder.update(spec)
+            return vec
+
+        # Shape-only trace fills the spec without touching the device.
+        zero_args = (
+            jax.tree_util.tree_map(
+                lambda v: jnp.zeros(np.shape(v), v.dtype), self.variables),
+            jnp.zeros((1, *in_hw, 3), jnp.uint8),
+            jnp.zeros(t_sel_pad, jnp.int32), jnp.zeros(t_sel_pad, bool),
+            jnp.int32(0), jnp.zeros(t_sel_pad, jnp.int32),
+            jnp.zeros(s_pad, jnp.int32), jnp.zeros(s_pad, jnp.int32),
+            jnp.zeros(s_pad, jnp.int32), jnp.zeros(s_pad, jnp.int32),
+            jnp.int32(0), jnp.int32(0))
+        jax.eval_shape(packed, *zero_args)
+        return jax.jit(packed), dict(spec_holder)
 
     def run(self, sal_frames, selected, true_inds, segmentation,
             segmentation_sel, crop_params: dict, *, fps: float,
             h_orig: int, w_orig: int, w_final: int, h_final: int,
-            fc: int, seg_bucket: int = 64) -> dict:
+            fc: int, seg_bucket: Optional[int] = None) -> dict:
         """Execute on (T_all, H, W, 3) device-resident frames.
 
         ``selected``: int indices of sampled frames; everything else as in
@@ -121,7 +172,8 @@ class FusedClipProgram:
         t_sel_pad = bucket_size(t_sel)
         t_out = bucket_size(fc)
         s = len(segmentation)
-        s_pad = seg_bucket if s <= seg_bucket else bucket_size(s)
+        s_pad = seg_bucket_size(s) if seg_bucket is None else (
+            seg_bucket if s <= seg_bucket else bucket_size(s))
         h, w = int(sal_frames.shape[1]), int(sal_frames.shape[2])
         net_hw = get_optimal_out_size((h, w))
 
@@ -139,17 +191,19 @@ class FusedClipProgram:
             out[:s] = np.asarray(arr, np.int32)[:, col]
             return out
 
-        fn = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw, cfg,
-                            float(fps), int(h_orig), int(w_orig),
-                            int(w_final), int(h_final))
-        out = fn(sal_frames, jnp.asarray(sel_idx), jnp.asarray(sel_mask),
+        fn, spec = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw,
+                                  cfg, float(fps), int(h_orig), int(w_orig),
+                                  int(w_final), int(h_final))
+        vec = fn(self.variables, sal_frames,
+                 jnp.asarray(sel_idx), jnp.asarray(sel_mask),
                  jnp.int32(t_sel), jnp.asarray(ti),
                  jnp.asarray(pad_seg(segmentation, 0)),
                  jnp.asarray(pad_seg(segmentation, 1)),
                  jnp.asarray(pad_seg(segmentation_sel, 0)),
                  jnp.asarray(pad_seg(segmentation_sel, 1)),
                  jnp.int32(s), jnp.int32(fc))
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # ONE device->host transfer for all 11 outputs (latency-bound link).
+        out = unpack_clip_outputs(np.asarray(vec), spec)
         out['boxes'] = out['boxes'][:fc]
         for k in ('dxi', 'dyi', 'dxs', 'dys'):
             out[k] = out[k][:fc]

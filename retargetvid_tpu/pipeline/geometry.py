@@ -43,7 +43,7 @@ from retargetvid_tpu.ops.temporal import fill_empty_centers, freeze_unstable_seg
 from retargetvid_tpu.ops.threshold import threshold_saliency
 
 __all__ = ["GeometryConfig", "geometry_pipeline", "run_geometry",
-           "bucket_size"]
+           "bucket_size", "seg_bucket_size"]
 
 _BUCKETS = (32, 48, 64, 96, 128, 160, 192, 256, 320, 384, 512, 640, 768,
             1024, 1536, 2048, 3072, 4096, 6144, 8192)
@@ -54,6 +54,16 @@ def bucket_size(n: int) -> int:
         if n <= b:
             return b
     return int(np.ceil(n / 4096) * 4096)
+
+
+def seg_bucket_size(n: int) -> int:
+    """Shot-segment count bucket.  Most DHF1K clips have 1-3 shots; the
+    per-segment interpolation/smoothing work is proportional to the bucket,
+    so small tiers save ~10x over a flat 64 (measured ~170 ms/clip)."""
+    for b in (4, 8, 16, 32, 64):
+        if n <= b:
+            return b
+    return bucket_size(n)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,7 +121,7 @@ class GeometryConfig:
 
 
 def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
-                        cfg: GeometryConfig):
+                        cfg: GeometryConfig, max_cuts: int | None = None):
     """Reproduce the sequential averaging of ``smartVidCrop.py:2369-2373``.
 
     For each i (in order): if i < fc_sel-2 and a cut index lies in
@@ -131,6 +141,8 @@ def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
     parallel pass-1 result.
     """
     t, h, w = raw_full.shape
+    if max_cuts is None:
+        max_cuts = t
     idx = jnp.arange(t)
     prev_cut = jnp.concatenate([jnp.zeros(1, bool), cut_mask[:-1]])
     next_cut = jnp.concatenate([cut_mask[1:], jnp.zeros(1, bool)])
@@ -165,17 +177,33 @@ def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
         # the all-zero input case needs no special handling.
         return out
 
-    def step(prev_out, xs):
-        raw_i, pass1_i, redo_i = xs
-        inp = jnp.where(redo_i,
-                        jnp.trunc(jnp.mod(raw_i + prev_out, 256.0) / 2.0),
-                        raw_i)
-        out = jax.lax.cond(redo_i, refilter, lambda v: pass1_i, inp)
-        return out, out
+    # Only ~3 frames per cut need the sequential recompute; gather them and
+    # scan over that bounded subset instead of every frame (t steps -> K
+    # steps; each scan step costs ~0.4 ms in dispatch/serialization alone).
+    # Capacity: each cut position contributes at most 3 redo frames.
+    k_cap = int(min(3 * (max_cuts + 1), t))
+    redo_idx = jnp.nonzero(needs_redo, size=k_cap, fill_value=t)[0]
 
-    _, outs = jax.lax.scan(step, raw_full[0] * 0.0,
-                           (raw_full, pass1_full, needs_redo))
-    return outs
+    def step(carry, j):
+        prev_idx, prev_out = carry
+        live = j < t
+        jc = jnp.clip(j, 0, t - 1)
+        raw_j = jax.lax.dynamic_index_in_dim(raw_full, jc, keepdims=False)
+        pass1_prev = jax.lax.dynamic_index_in_dim(
+            pass1_full, jnp.clip(jc - 1, 0, t - 1), keepdims=False)
+        # Chained redos feed the previous step's output; otherwise the
+        # previous frame kept its pass-1 result.
+        prev_map = jnp.where(prev_idx == jc - 1, prev_out, pass1_prev)
+        inp = jnp.trunc(jnp.mod(raw_j + prev_map, 256.0) / 2.0)
+        out = jax.lax.cond(live, refilter, lambda v: v, inp)
+        new_idx = jnp.where(live, jc, jnp.int32(-2))
+        return (new_idx, out), out
+
+    init = (jnp.int32(-2), raw_full[0] * 0.0)
+    _, redone = jax.lax.scan(step, init, redo_idx)
+
+    # Out-of-range fill indices drop instead of clobbering frame t-1.
+    return pass1_full.at[redo_idx].set(redone, mode='drop')
 
 
 def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
@@ -231,7 +259,8 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
         # The sequential averaging runs at full process resolution on the
         # upscaled pass-1 outputs (reference order: filter -> upscale ->
         # average into the next frame's stored uint8 map).
-        sm = _cut_boundary_fixup(sm, pass1, cut_mask, fc_sel, cfg)
+        sm = _cut_boundary_fixup(sm, pass1, cut_mask, fc_sel, cfg,
+                                 max_cuts=int(seg_sel_starts.shape[0]) + 1)
 
     # 3. centers (smartVidCrop.py:2402-2414)
     cx, cy, valid = center_of_mass(
@@ -320,7 +349,7 @@ def run_geometry(smaps, true_inds, segmentation,
                  fps: float, h_orig: int, w_orig: int,
                  w_final: int, h_final: int, fc: int,
                  borders=(0, 0, 0, 0),
-                 seg_bucket: int = 64,
+                 seg_bucket: int | None = None,
                  fetch_maps: bool = False) -> dict:
     """Host entry: pad/bucketize the ingest outputs and run the jitted chain.
 
@@ -335,7 +364,8 @@ def run_geometry(smaps, true_inds, segmentation,
     t_sel_pad = bucket_size(t_sel)
     t_out = bucket_size(fc)
     s = len(segmentation)
-    s_pad = seg_bucket if s <= seg_bucket else bucket_size(s)
+    s_pad = seg_bucket_size(s) if seg_bucket is None else (
+        seg_bucket if s <= seg_bucket else bucket_size(s))
 
     # Pad the volume on device (cheap) instead of materializing on host.
     smaps_j = jnp.asarray(smaps)

@@ -112,6 +112,7 @@ class TestTimingRegistry:
 
 
 class TestMeasure:
+    @pytest.mark.slow
     def test_model_size(self):
         import jax
         import jax.numpy as jnp

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 cv2 = pytest.importorskip("cv2")
 
 

@@ -28,6 +28,10 @@ def model_and_params():
 
 import jax.numpy as jnp
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 
 def test_output_shape_and_range(model_and_params):
     model, params = model_and_params
@@ -91,3 +95,27 @@ def test_windows_interior_consistency():
     p_all = predict_video_windows(apply_fn, frames)
     p_again = predict_video_windows(apply_fn, frames)
     np.testing.assert_allclose(p_all, p_again, rtol=1e-6)
+
+
+def test_transnet_predictor_matches_eager_windows():
+    """TransNetPredictor (one-dispatch) == predict_video_windows (eager)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from retargetvid_tpu.models.transnet import (
+        TransNetPredictor,
+        TransNetV1,
+        predict_video_windows,
+    )
+
+    model = TransNetV1(f=2, d=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    rng = np.random.default_rng(0)
+    for n in (37, 100, 173):
+        frames = rng.integers(0, 255, (n, 27, 48, 3)).astype(np.uint8)
+        eager = predict_video_windows(
+            lambda b: model.apply(params, b), frames)
+        fused = TransNetPredictor(model, params)(frames)
+        np.testing.assert_allclose(fused, eager, rtol=1e-5, atol=1e-6)

@@ -10,6 +10,10 @@ from reference_oracles import make_reference_unisal
 from retargetvid_tpu.models.torch_import import load_unisal_variables
 from retargetvid_tpu.models.unisal import UNISAL
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def oracle_and_ours():

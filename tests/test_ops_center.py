@@ -1,10 +1,15 @@
 """Center-of-mass vs the reference's 1-cluster KMeans oracle."""
 
+import pytest
 import cv2
 import numpy as np
 from sklearn.cluster import KMeans
 
 from retargetvid_tpu.ops.center import center_of_mass
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 RNG = np.random.default_rng(11)
 

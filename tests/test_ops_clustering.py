@@ -6,6 +6,10 @@ from scipy import ndimage
 
 from retargetvid_tpu.ops.clustering import clustering_filter, connected_components
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 RNG = np.random.default_rng(3)
 
 

@@ -5,11 +5,15 @@ import pytest
 from scipy import signal as ssignal
 
 from retargetvid_tpu.ops.filters import (
+
     butter_lowpass_filter,
     loess_smooth,
     savgol_smooth,
     smooth_segments,
 )
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(23)
 

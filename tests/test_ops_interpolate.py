@@ -6,6 +6,10 @@ from scipy import interpolate as sinterp
 
 from retargetvid_tpu.ops.interpolate import interp_segment, interpolate_segments
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 RNG = np.random.default_rng(17)
 MAXN = 32
 

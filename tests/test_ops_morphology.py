@@ -1,9 +1,14 @@
 """Morphology vs cv2 oracle."""
 
+import pytest
 import cv2
 import numpy as np
 
 from retargetvid_tpu.ops.morphology import close, dilate, erode
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 RNG = np.random.default_rng(7)
 

@@ -7,6 +7,10 @@ import pytest
 
 from retargetvid_tpu.ops.resize import resize
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 RNG = np.random.default_rng(42)
 
 

@@ -1,11 +1,16 @@
 """Empty-center filling, focus freezing, jump line scores vs oracles."""
 
+import pytest
 import math
 
 import numpy as np
 
 from retargetvid_tpu.ops.focus import jump_saliency_scores
 from retargetvid_tpu.ops.temporal import fill_empty_centers, freeze_unstable_segments
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 RNG = np.random.default_rng(13)
 

@@ -1,10 +1,15 @@
 """Pallas kernels vs their XLA fallbacks (interpret mode on the CPU mesh)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
 
 from retargetvid_tpu.ops.pallas_kernels import saliency_postprocess
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 
 def test_postprocess_matches_fallback():

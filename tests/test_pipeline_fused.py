@@ -6,6 +6,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.slow
 def test_fused_matches_separate():

@@ -9,6 +9,10 @@ from scipy import signal as ssignal
 from retargetvid_tpu.config import sc_init_crop_params
 from retargetvid_tpu.pipeline.geometry import run_geometry
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 RNG = np.random.default_rng(41)
 
 

@@ -5,6 +5,10 @@ import pickle
 import numpy as np
 import pytest
 
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
 
 def test_render_cropped_pickle(tmp_path):
     from retargetvid_tpu.pipeline.render import render_cropped_pickle

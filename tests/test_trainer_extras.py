@@ -1,8 +1,13 @@
 """copy_code and scalar-export Trainer extras."""
 
+import pytest
 import json
 
 import numpy as np
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 
 def test_copy_code_and_scalars(tmp_path):
