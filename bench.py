@@ -48,6 +48,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from retargetvid_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from retargetvid_tpu.config import sc_init_crop_params
     from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
     from retargetvid_tpu.ops.boxes import calc_dest_size

@@ -22,6 +22,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: repeat test sessions hit disk instead of
+# recompiling the big fused programs (minutes saved per run).
+from retargetvid_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import pathlib
 
 import pytest
