@@ -66,13 +66,106 @@ def _build_models(args):
     return transnet_fn, predictor.predict
 
 
+def _eval_inline(annots, vid_fn, ar, bbs):
+    from retargetvid_tpu.eval.harness import benchmark_eval_boxes, iou_xyxy_inclusive
+
+    if annots is None or not vid_fn.isdigit():
+        return
+    vid_ind = int(vid_fn)
+    pred = benchmark_eval_boxes(np.asarray(bbs, int), ar)
+    user_means = []
+    for user in range(len(annots)):
+        gt = annots[user][ar.replace(':', '-')][vid_ind]
+        n = min(len(gt), len(pred))
+        ious = iou_xyxy_inclusive(
+            np.maximum(gt[:n], 0), np.maximum(pred[:n], 0))
+        user_means.append(float(ious.mean()))
+        print('   user #%d: %.3f' % (user + 1, user_means[-1]))
+    print('   mean   : %.3f' % statistics.mean(user_means))
+
+
+def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
+    """The 200-video loop with clips sharded across the mesh dp axis
+    (SURVEY.md §7.7).  Two phases: host-bound ingest (decode + resize +
+    shot detection) per video, then dp-batched SPMD saliency+geometry via
+    :class:`ShardedClipRunner`, grouped by bucket signature."""
+    import jax
+
+    from retargetvid_tpu.eval.annotations import write_boxes_file
+    from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.parallel.mesh import make_mesh
+    from retargetvid_tpu.parallel.runner import ShardedClipRunner, group_clips
+    from retargetvid_tpu.pipeline.ingest import read_video_structure
+
+    n_dev = min(args.mesh, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    print(f' sharded benchmark over mesh {dict(mesh.shape)}')
+
+    import jax.numpy as jnp
+
+    model = TransNetV1()
+    if args.transnet_weights:
+        import pickle
+        with open(args.transnet_weights, 'rb') as fp:
+            tn_params = pickle.load(fp)
+    else:
+        tn_params = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+        print(' WARNING: no --transnet-weights; using random init')
+    transnet_fn = TransNetPredictor(model, tn_params)
+
+    variables = None
+    if args.unisal_weights:
+        import torch
+
+        from retargetvid_tpu.models.torch_import import load_unisal_variables
+        from retargetvid_tpu.models.unisal import UNISAL
+        sd = torch.load(args.unisal_weights, map_location='cpu')
+        if isinstance(sd, dict) and 'model_state_dict' in sd:
+            sd = sd['model_state_dict']
+        variables = load_unisal_variables(UNISAL(), sd)
+    runner = ShardedClipRunner(mesh, variables=variables)
+
+    # Phase 1: ingest every video once (saliency deferred to the SPMD phase).
+    clips = []
+    for i, vid_path in enumerate(vid_paths):
+        print(f' ingest ({i + 1}/{len(vid_paths)}): {vid_path}')
+        clip = read_video_structure(vid_path, crop_params, transnet_fn)
+        clip['vid_fn'] = Path(vid_path).stem
+        clips.append(clip)
+
+    ars = args.ratios.split(',')
+    for ar in ars:
+        cp = dict(crop_params)
+        cp['out_ratio'] = ar
+        # Group key: everything static in the compiled program.
+        by_meta: dict = {}
+        for c in clips:
+            by_meta.setdefault(
+                (c['fps'], c['h_orig'], c['w_orig']), []).append(c)
+        for (fps, h_orig, w_orig), metas in by_meta.items():
+            dest = calc_dest_size(w_orig, h_orig, ar)
+            for batch, n_real in group_clips(metas, mesh.shape['dp']):
+                results = runner.run_batch(
+                    batch, cp, fps=fps, h_orig=h_orig, w_orig=w_orig,
+                    w_final=dest['w_final'], h_final=dest['h_final'])
+                for c, res in list(zip(batch, results))[:n_real]:
+                    suffix = f"{c['vid_fn']}_{ar.replace(':', '-')}"
+                    write_boxes_file(results_out / f'{suffix}.txt',
+                                     np.asarray(res['boxes'], int))
+                    with open(results_out / f'{suffix}_info.txt', 'w') as fp:
+                        fp.write(f'result:smart cropped (sharded dp='
+                                 f'{mesh.shape["dp"]})\n')
+                    print(f' {suffix}: {len(res["boxes"])} boxes')
+                    _eval_inline(annots, c['vid_fn'], ar, res['boxes'])
+
+
 def cmd_benchmark(args):
     from retargetvid_tpu.eval.annotations import load_annotations, write_boxes_file
-    from retargetvid_tpu.eval.harness import benchmark_eval_boxes, iou_xyxy_inclusive
     from retargetvid_tpu.pipeline.crop import smart_vid_crop
 
     crop_params = sc_init_crop_params(use_best_settings=args.best_settings)
-    transnet_fn, saliency_fn = _build_models(args)
 
     annots = None
     if args.annotations:
@@ -86,6 +179,12 @@ def cmd_benchmark(args):
 
     results_out = Path(args.out) / args.test_name
     results_out.mkdir(parents=True, exist_ok=True)
+
+    if getattr(args, 'mesh', 0):
+        return cmd_benchmark_sharded(args, vid_paths, results_out, annots,
+                                     crop_params)
+
+    transnet_fn, saliency_fn = _build_models(args)
 
     ars = args.ratios.split(',')
     for ar in ars:
@@ -111,18 +210,7 @@ def cmd_benchmark(args):
             write_boxes_file(txt, np.asarray(vd['bbs'], int))
 
             # Inline eval (reference :2798-2836).
-            if annots is not None and vid_fn.isdigit():
-                vid_ind = int(vid_fn)
-                pred = benchmark_eval_boxes(np.asarray(vd['bbs'], int), ar)
-                user_means = []
-                for user in range(len(annots)):
-                    gt = annots[user][ar.replace(':', '-')][vid_ind]
-                    n = min(len(gt), len(pred))
-                    ious = iou_xyxy_inclusive(
-                        np.maximum(gt[:n], 0), np.maximum(pred[:n], 0))
-                    user_means.append(float(ious.mean()))
-                    print('   user #%d: %.3f' % (user + 1, user_means[-1]))
-                print('   mean   : %.3f' % statistics.mean(user_means))
+            _eval_inline(annots, vid_fn, ar, vd['bbs'])
 
 
 def cmd_crop(args):
@@ -339,6 +427,9 @@ def main(argv=None):
     b.add_argument('--annotations-extract', default=None)
     b.add_argument('--replace-existing', action='store_true')
     b.add_argument('--save-vid', action='store_true')
+    b.add_argument('--mesh', type=int, default=0,
+                   help='shard clips over an N-device dp mesh '
+                        '(0 = sequential single-chip loop)')
     b.set_defaults(fn=cmd_benchmark)
 
     c = sub.add_parser('crop', help='smart-crop one video')

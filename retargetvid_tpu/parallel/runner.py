@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from retargetvid_tpu.models.unisal import UNISAL
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
-__all__ = ["ShardedSaliency", "ShardedClipRunner"]
+__all__ = ["ShardedSaliency", "ShardedClipRunner", "group_clips"]
 
 
 class ShardedClipRunner:
@@ -66,26 +66,45 @@ class ShardedClipRunner:
 
     def run_batch(self, clips, crop_params: dict, *, fps: float,
                   h_orig: int, w_orig: int, w_final: int, h_final: int,
-                  seg_bucket: int = 64) -> list:
-        """Run a dp-sized batch of clips with IDENTICAL bucket shapes.
+                  seg_bucket: Optional[int] = None) -> list:
+        """Run a dp-sized batch of clips sharing one bucket signature.
 
         ``clips``: list of dicts with keys ``sal_frames`` (T_all, H, W, 3),
         ``selected``, ``true_inds``, ``segmentation``, ``segmentation_sel``,
-        ``fc``.  All clips must share T_all/H/W and bucketized shapes (group
-        clips by bucket before calling).  Returns a per-clip list of result
-        dicts (boxes trimmed to each clip's fc).
+        ``fc``.  All clips must share H/W and bucketized shapes — use
+        :func:`group_clips` to schedule an arbitrary clip list into such
+        batches.  Frame counts inside a batch may differ; the frame axis pads
+        to the common bucket.  Returns a per-clip list of result dicts
+        (boxes trimmed to each clip's fc).
         """
-        from retargetvid_tpu.pipeline.geometry import GeometryConfig, bucket_size
+        from retargetvid_tpu.pipeline.geometry import (
+            GeometryConfig,
+            bucket_size,
+            seg_bucket_size,
+        )
         from retargetvid_tpu.pipeline.saliency import get_optimal_out_size
 
         d = len(clips)
         cfg = GeometryConfig.from_crop_params(crop_params)
         t_sel_pad = bucket_size(max(len(c['selected']) for c in clips))
         t_out = bucket_size(max(c['fc'] for c in clips))
-        s_pad = seg_bucket
+        if seg_bucket is None:
+            s_pad = seg_bucket_size(max(len(c['segmentation'])
+                                        for c in clips))
+        else:
+            s_pad = seg_bucket
+        t_all_pad = bucket_size(max(int(c['sal_frames'].shape[0])
+                                    for c in clips))
         h, w = int(clips[0]['sal_frames'].shape[1]), \
             int(clips[0]['sal_frames'].shape[2])
         net_hw = get_optimal_out_size((h, w))
+
+        def pad_frames(c):
+            f = jnp.asarray(c['sal_frames'])
+            if f.shape[0] != t_all_pad:
+                f = jnp.pad(f, ((0, t_all_pad - f.shape[0]), (0, 0),
+                                (0, 0), (0, 0)))
+            return f
 
         def stack(key, build):
             return jnp.stack([build(c) for c in clips])
@@ -116,7 +135,7 @@ class ShardedClipRunner:
                             float(fps), int(h_orig), int(w_orig),
                             int(w_final), int(h_final))
         out = fn(self.variables,
-                 stack('sal_frames', lambda c: jnp.asarray(c['sal_frames'])),
+                 stack('sal_frames', pad_frames),
                  stack('sel', sel_idx), stack('mask', sel_mask),
                  jnp.asarray([len(c['selected']) for c in clips], jnp.int32),
                  stack('ti', ti),
@@ -195,3 +214,41 @@ class ShardedSaliency:
                     [chunk, np.repeat(chunk[-1:], b - (e - s), axis=0)])
             out[s:e] = np.asarray(fn(jnp.asarray(chunk)))[:e - s]
         return out
+
+
+def group_clips(clips, dp: int):
+    """Schedule clips into dp-sized batches of one bucket signature each.
+
+    The signature is everything that shapes the compiled SPMD program:
+    (H, W, frame-count bucket, selected bucket, fc bucket, segment bucket).
+    Batches are filled in arrival order per signature; a final partial batch
+    is padded by repeating its last clip (the repeats' outputs are dropped).
+    Returns a list of (batch_clips, n_real) tuples.
+    """
+    from retargetvid_tpu.pipeline.geometry import bucket_size, seg_bucket_size
+
+    def sig(c):
+        t_all, h, w = c['sal_frames'].shape[:3]
+        return (h, w, bucket_size(int(t_all)),
+                bucket_size(len(c['selected'])), bucket_size(int(c['fc'])),
+                seg_bucket_size(len(c['segmentation'])))
+
+    pools: dict = {}
+    order: list = []
+    for c in clips:
+        k = sig(c)
+        if k not in pools:
+            pools[k] = []
+            order.append(k)
+        pools[k].append(c)
+
+    batches = []
+    for k in order:
+        pool = pools[k]
+        for i in range(0, len(pool), dp):
+            batch = pool[i:i + dp]
+            n_real = len(batch)
+            while len(batch) < dp:
+                batch.append(batch[-1])
+            batches.append((batch, n_real))
+    return batches

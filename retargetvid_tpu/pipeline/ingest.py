@@ -341,3 +341,58 @@ def save_vid_data(path, vd: dict) -> None:
     vd['smaps'] = np.asarray(vd['smaps'])     # device arrays don't pickle
     with open(path, 'wb') as fp:
         pickle.dump(vd, fp)
+
+
+def read_video_structure(video_path, crop_params: dict,
+                         transnet_fn: Callable) -> dict:
+    """Decode + resize + shot-detect + sample, DEFERRING saliency.
+
+    Returns the clip dict consumed by
+    :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner` /
+    :func:`group_clips`: ``sal_frames`` is the whole resized frame volume
+    (numpy uint8) so the sharded SPMD program can run gather + saliency +
+    geometry on device.  Videos longer than ``read_batch`` frames fall back
+    to the sequential path (the reference's 2000-frame batch stitching,
+    ``smartVidCrop.py:248-374``, is a streaming construct; DHF1K clips are
+    ~450 frames).
+    """
+    from retargetvid_tpu.io.video import VideoReader, probe_video
+
+    info = probe_video(video_path)
+    fr, w, h = info['fps'], info['width'], info['height']
+    skip = crop_params['skip']
+    sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
+    kernel = _resize_kernel(h, w, sal_h, sal_w)
+
+    import jax.numpy as jnp
+
+    reader = VideoReader(video_path)
+    tn_parts, sal_parts = [], []
+    for chunk, _ in reader.chunks(256):
+        tn, sal = kernel(chunk)
+        tn_parts.append(tn)
+        sal_parts.append(sal)
+    reader.stop()
+    tn_frames = jnp.concatenate(tn_parts) if len(tn_parts) > 1 else tn_parts[0]
+    sal_frames = jnp.concatenate(sal_parts) if len(sal_parts) > 1 \
+        else sal_parts[0]
+    fc = int(tn_frames.shape[0])
+    if fc > crop_params['read_batch']:
+        raise ValueError(f'{video_path}: {fc} frames exceeds read_batch; '
+                         'use the sequential ingest')
+
+    probs = np.asarray(transnet_fn(tn_frames))
+    selected, true_inds, map2orig = sample_frames(fc, probs, skip, fc)
+    segmentation = fix_scene_bounds(
+        predictions_to_scenes(probs, TRANS_THRESHOLD), fc)
+    segmentation_sel = scenes_to_selected(segmentation, map2orig)
+    return {
+        'sal_frames': np.asarray(sal_frames),
+        'selected': selected,
+        'true_inds': true_inds,
+        'segmentation': segmentation,
+        'segmentation_sel': segmentation_sel,
+        'fc': fc,
+        'fps': fr,
+        'h_orig': h, 'w_orig': w,
+    }
