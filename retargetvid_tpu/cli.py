@@ -278,7 +278,7 @@ class _SampleLoader:
 
 
 def _build_dataloaders(sources, *, batch_size: int, batches_per_epoch: int,
-                       valid_batches: int):
+                       valid_batches: int, seq_len=None):
     loaders = {}
     for src in sources:
         cls = _dataset_classes()[src]
@@ -290,8 +290,11 @@ def _build_dataloaders(sources, *, batch_size: int, batches_per_epoch: int,
                 'valid': _MITLoader(valid_ds, batch_size),
             }
         else:
-            train_ds = cls(phase='train')
-            valid_ds = cls(phase='valid')
+            kw = {}
+            if seq_len is not None and src != 'SALICON':
+                kw['seq_len'] = seq_len
+            train_ds = cls(phase='train', **kw)
+            valid_ds = cls(phase='valid', **kw)
             loaders[src] = {
                 'train': _SampleLoader(train_ds, batches_per_epoch,
                                        batch_size),
@@ -325,7 +328,7 @@ def cmd_train(args):
     loaders = _build_dataloaders(
         sources, batch_size=args.batch_size,
         batches_per_epoch=args.batches_per_epoch,
-        valid_batches=args.valid_batches)
+        valid_batches=args.valid_batches, seq_len=args.seq_len)
     best = trainer.fit(loaders, args.train_dir,
                        chkpnt_warmup=args.chkpnt_warmup,
                        chkpnt_epochs=args.chkpnt_epochs)
@@ -354,7 +357,10 @@ def cmd_score(args):
         print(f' loaded {chk[-1]}')
     else:
         raise FileNotFoundError(f'no weights under {args.train_dir}')
-    ds = _dataset_classes()[args.source](phase=args.phase)
+    kw = {}
+    if args.seq_len is not None and args.source not in ('SALICON', 'MIT1003'):
+        kw['seq_len'] = args.seq_len
+    ds = _dataset_classes()[args.source](phase=args.phase, **kw)
     batches = (ds.sample(args.batch_size) for _ in range(args.n_batches))
     scores = trainer.score_model(batches, source=args.source)
     for k, v in scores.items():
@@ -459,6 +465,8 @@ def main(argv=None):
     t.add_argument('--batches-per-epoch', type=int, default=1000)
     t.add_argument('--valid-batches', type=int, default=100)
     t.add_argument('--train-cnn-after', type=int, default=2)
+    t.add_argument('--seq-len', type=int, default=None,
+                   help='override dataset sequence length (frames per clip)')
     t.add_argument('--chkpnt-warmup', type=int, default=3)
     t.add_argument('--chkpnt-epochs', type=int, default=2)
     t.add_argument('--fine-tune-mit', action='store_true')
@@ -471,6 +479,7 @@ def main(argv=None):
     s.add_argument('--phase', default='valid')
     s.add_argument('--batch-size', type=int, default=4)
     s.add_argument('--n-batches', type=int, default=25)
+    s.add_argument('--seq-len', type=int, default=None)
     s.set_defaults(fn=cmd_score)
 
     pr = sub.add_parser('predict', help='saliency maps for a folder/video '

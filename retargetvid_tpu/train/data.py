@@ -190,27 +190,371 @@ class _SaliencyFolderDataset:
         return (np.stack(xs), np.stack(sals), np.stack(fixs))
 
 
-class DHF1KDataset(_SaliencyFolderDataset):
-    env_var = 'DHF1K_DATA_DIR'
+class DHF1KDataset:
+    """DHF1K with the reference's exact conventions
+    (``unisal/data.py:536-766``):
+
+    - layout ``$DHF1K_DATA_DIR/annotation/NNNN/{images,maps,fixation}/
+      NNNN.png`` (4-digit, 1-based frame numbers);
+    - 3-fold cross-validation over videos 1..700 with ``val_size=100``,
+      ``x_val_step=2`` and unshuffled order (``x_val_seed=0``);
+    - training samples are random ``seq_len * frame_modulo`` windows strided
+      by ``frame_modulo`` (12 x 5); validation starts come from a linspace
+      (``data.py:661-668``);
+    - frames LANCZOS-resize to ``out_size`` and ImageNet-normalize; saliency
+      normalizes to max 1; fixations threshold at 0.5.
+    """
+
     source = 'DHF1K'
+    env_var = 'DHF1K_DATA_DIR'
+    n_train_val_videos = 700
+    frame_rate = 30
+
+    def __init__(self, phase: str = 'train', data_dir=None, seq_len: int = 12,
+                 frame_modulo: int = 5, out_size=(224, 384),
+                 target_size=(360, 640), val_size: int = 100,
+                 n_x_val: int = 3, x_val_step: int = 2, x_val_seed: int = 0,
+                 seq_per_vid: int = 1, seq_per_vid_val: int = 2,
+                 subset=None, seed: int = 0):
+        self.phase = phase
+        self.train = phase == 'train'
+        data_dir = data_dir or os.environ.get(self.env_var)
+        if not data_dir:
+            raise FileNotFoundError(f'{self.env_var} is not set')
+        self.dir = Path(data_dir)
+        self.seq_len = seq_len
+        self.frame_modulo = frame_modulo
+        self.clip_len = seq_len * frame_modulo
+        self.out_size = tuple(out_size)
+        self.target_size = tuple(target_size)
+        self.rng = np.random.default_rng(seed)
+
+        self.vid_nr_array = self._xval_split(val_size, n_x_val, x_val_step,
+                                             x_val_seed)
+        self.n_images_dict = self._count_images()
+        self.samples = self._prepare_samples(seq_per_vid, seq_per_vid_val)
+        if subset is not None:
+            self.samples = self.samples[:int(len(self.samples) * subset)]
+        self.target_size_dict = {v: self.target_size
+                                 for v in self.n_images_dict}
+
+    # -- structure ---------------------------------------------------------
+    def _xval_split(self, val_size, n_x_val, x_val_step, x_val_seed):
+        avail = self._available_videos()
+        n_videos = len(avail) if avail else self.n_train_val_videos
+        vid_nr_array = np.asarray(avail or
+                                  list(range(1, n_videos + 1)))
+        if x_val_seed > 0:
+            rs = np.random.RandomState(x_val_seed)
+            rs.shuffle(vid_nr_array)
+        val_size = min(val_size, max(len(vid_nr_array) // n_x_val, 1))
+        val_start = (len(vid_nr_array) - val_size) // \
+            max(n_x_val - 1, 1) * x_val_step
+        arr = vid_nr_array.tolist()
+        if not self.train:
+            return arr[val_start:val_start + val_size]
+        del arr[val_start:val_start + val_size]
+        return arr
+
+    def _available_videos(self):
+        root = self.dir / 'annotation'
+        if not root.is_dir():
+            raise FileNotFoundError(f'no annotation/ under {self.dir}')
+        return sorted(int(p.name) for p in root.iterdir()
+                      if p.is_dir() and p.name.isdigit())
+
+    def _count_images(self):
+        out = {}
+        for v in self.vid_nr_array:
+            img_dir = self.annotation_dir(v) / 'images'
+            out[v] = sum(1 for _ in img_dir.glob('*.png'))
+        return out
+
+    def _prepare_samples(self, seq_per_vid, seq_per_vid_val):
+        samples = []
+        for vid_nr, n_images in self.n_images_dict.items():
+            if n_images < self.clip_len:
+                continue
+            if self.train:
+                samples += [(vid_nr, None)] * seq_per_vid
+            else:
+                x = n_images // (seq_per_vid_val * 2) - self.clip_len // 2
+                start = max(1, x)
+                end = min(n_images - self.clip_len, n_images - x)
+                samples += [(vid_nr, int(s))
+                            for s in np.linspace(start, end, seq_per_vid_val)]
+        return samples
+
+    def annotation_dir(self, vid_nr: int) -> Path:
+        return self.dir / 'annotation' / f'{vid_nr:04d}'
+
+    def data_file(self, vid_nr: int, f_nr: int, dkey: str) -> Path:
+        folder = {'frame': 'images', 'sal': 'maps', 'fix': 'fixation'}[dkey]
+        return self.annotation_dir(vid_nr) / folder / f'{f_nr:04d}.png'
+
+    def __len__(self):
+        return len(self.samples)
+
+    # -- loading -----------------------------------------------------------
+    def _load(self, vid_nr, f_nr, dkey):
+        import cv2
+        flag = None if dkey == 'frame' else cv2.IMREAD_GRAYSCALE
+        f = self.data_file(vid_nr, f_nr, dkey)
+        data = cv2.imread(str(f)) if flag is None else cv2.imread(str(f), flag)
+        if data is None:
+            raise FileNotFoundError(f)
+        if dkey == 'frame':
+            data = np.ascontiguousarray(data[:, :, ::-1])
+        return data
+
+    def get_frame_nrs(self, vid_nr, start):
+        return list(range(start, start + self.clip_len, self.frame_modulo))
+
+    def get_data(self, vid_nr, start=None):
+        """(frame_nrs, x, sal, fix, target_size), reference semantics."""
+        n_images = self.n_images_dict[vid_nr]
+        if start is None:
+            max_start = n_images - self.clip_len + 1
+            start = 1 if max_start <= 1 else int(
+                self.rng.integers(1, max_start))
+        frame_nrs = self.get_frame_nrs(vid_nr, start)
+        frames = np.stack([self._load(vid_nr, f, 'frame')
+                           for f in frame_nrs])
+        sal = np.stack([self._load(vid_nr, f, 'sal') for f in frame_nrs])
+        fix = np.stack([self._load(vid_nr, f, 'fix') for f in frame_nrs])
+        x, sal, fix = self._preprocess(frames, sal, fix)
+        return frame_nrs, x, sal, fix, self.target_size_dict[vid_nr]
+
+    def _preprocess(self, frames, sal, fix):
+        from retargetvid_tpu.ops.resize import resize
+        x = np.asarray(preprocess_frames(frames, self.out_size))
+        sal = np.asarray(resize(sal.astype(np.float32), self.out_size,
+                                'lanczos'))
+        sal = np.clip(sal, 0, None)
+        sal = sal / np.maximum(sal.max(axis=(1, 2), keepdims=True), 1e-6)
+        sal = sal / np.maximum(sal.sum(axis=(1, 2), keepdims=True), 1e-6)
+        fix = np.asarray(resize(fix.astype(np.float32), self.out_size,
+                                'nearest'))
+        return x, sal[..., None], (fix > 127).astype(np.float32)[..., None]
+
+    def sample(self, batch_size: int = 1):
+        """One (x, sal, fix) batch of random plan samples."""
+        if not self.samples:
+            raise ValueError(
+                f'{self.source}: no clips of length {self.clip_len} '
+                f'(seq_len*frame_modulo) fit the available videos')
+        xs, sals, fixs = [], [], []
+        for _ in range(batch_size):
+            vid_nr, start = self.samples[
+                int(self.rng.integers(len(self.samples)))]
+            _, x, sal, fix, _ = self.get_data(vid_nr, start)
+            xs.append(x)
+            sals.append(sal)
+            fixs.append(fix)
+        return np.stack(xs), np.stack(sals), np.stack(fixs)
 
 
-class HollywoodDataset(_SaliencyFolderDataset):
-    env_var = 'HOLLYWOOD_DATA_DIR'
+class HollywoodDataset(DHF1KDataset):
+    """Hollywood-2 with the reference's conventions
+    (``unisal/data.py:768-943``): per-shot directories
+    ``actionclip{train|test}NNNNN_S/{images,maps,fixation}/
+    actionclip{phase}NNNNN_FFFFF.png`` under ``training/`` or ``testing/``;
+    vid ids are ``100 * vid_nr + shot_nr``; a register (scanned here, JSON
+    in the reference) records per-shot frame counts and start numbers."""
+
     source = 'Hollywood'
+    env_var = 'HOLLYWOOD_DATA_DIR'
+    frame_rate = 24
+
+    def __init__(self, phase: str = 'train', data_dir=None, seq_len: int = 12,
+                 frame_modulo: int = 4, out_size=(224, 416),
+                 val_size: int = 75, x_val_seed: int = 42, **kw):
+        self.phase_str = 'test' if phase in ('eval', 'test') else 'train'
+        data_dir = data_dir or os.environ.get(self.env_var)
+        if not data_dir:
+            raise FileNotFoundError(f'{self.env_var} is not set')
+        sub = 'training' if phase in ('train', 'valid') else 'testing'
+        super().__init__(phase=phase, data_dir=str(Path(data_dir) / sub),
+                         seq_len=seq_len, frame_modulo=frame_modulo,
+                         out_size=out_size, target_size=out_size,
+                         val_size=val_size, x_val_seed=x_val_seed, **kw)
+
+    def _available_videos(self):
+        self._register = {}
+        vids = set()
+        for folder in sorted(self.dir.glob(f'actionclip{self.phase_str}*')):
+            name = folder.stem
+            base = 10 + len(self.phase_str)
+            vid_nr = int(name[base:base + 5])
+            shot_nr = int(name[-2:].replace('_', ''))
+            key = 100 * vid_nr + shot_nr
+            image_files = sorted((folder / 'images').glob('actionclip*.png'))
+            if not image_files:
+                continue
+            self._register[key] = {
+                'n_images': len(image_files),
+                'start': int(image_files[0].stem[-5:]),
+            }
+            vids.add(vid_nr)
+        if not self._register:
+            raise FileNotFoundError(f'no actionclip dirs under {self.dir}')
+        return sorted(vids)
+
+    def _count_images(self):
+        # vid_nr_array holds VIDEO numbers; expose SHOT-level entries whose
+        # video survived the split (reference data.py:800-806).
+        return {key: reg['n_images'] for key, reg in self._register.items()
+                if key // 100 in self.vid_nr_array}
+
+    def annotation_dir(self, key: int) -> Path:
+        vid_nr, shot_nr = key // 100, key % 100
+        return self.dir / f'actionclip{self.phase_str}{vid_nr:05d}_{shot_nr:1d}'
+
+    def data_file(self, key: int, f_nr: int, dkey: str) -> Path:
+        folder = {'frame': 'images', 'sal': 'maps', 'fix': 'fixation'}[dkey]
+        vid_nr = key // 100
+        f_nr = f_nr + self._register[key]['start'] - 1
+        return self.annotation_dir(key) / folder / \
+            f'actionclip{self.phase_str}{vid_nr:05d}_{f_nr:05d}.png'
 
 
-class UCFSportsDataset(_SaliencyFolderDataset):
-    env_var = 'UCFSPORTS_DATA_DIR'
+class UCFSportsDataset(DHF1KDataset):
+    """UCF Sports (``unisal/data.py:946-1083``): per-video directories named
+    ``<action>-<nr>`` under ``training/``/``testing/`` with
+    ``{images,maps,fixation}/*.png``; frame files are sorted, not numbered
+    by a fixed scheme."""
+
     source = 'UCFSports'
+    env_var = 'UCFSPORTS_DATA_DIR'
+
+    def __init__(self, phase: str = 'train', data_dir=None, seq_len: int = 12,
+                 frame_modulo: int = 4, out_size=(256, 384),
+                 val_size: int = 10, x_val_seed: int = 27, **kw):
+        data_dir = data_dir or os.environ.get(self.env_var)
+        if not data_dir:
+            raise FileNotFoundError(f'{self.env_var} is not set')
+        sub = 'training' if phase in ('train', 'valid') else 'testing'
+        super().__init__(phase=phase, data_dir=str(Path(data_dir) / sub),
+                         seq_len=seq_len, frame_modulo=frame_modulo,
+                         out_size=out_size, target_size=out_size,
+                         val_size=val_size, x_val_seed=x_val_seed, **kw)
+
+    def _available_videos(self):
+        self._names = {}
+        for i, folder in enumerate(sorted(self.dir.glob('*-*'))):
+            vid_nr = i + 1
+            self._names[vid_nr] = folder.stem
+            files = sorted((folder / 'images').glob('*.png'))
+            self._names[(vid_nr, 'files')] = [f.stem for f in files]
+        if not self._names:
+            raise FileNotFoundError(f'no <action>-<nr> dirs under {self.dir}')
+        return sorted(k for k in self._names if isinstance(k, int))
+
+    def annotation_dir(self, vid_nr: int) -> Path:
+        return self.dir / self._names[vid_nr]
+
+    def data_file(self, vid_nr: int, f_nr: int, dkey: str) -> Path:
+        folder = {'frame': 'images', 'sal': 'maps', 'fix': 'fixation'}[dkey]
+        stem = self._names[(vid_nr, 'files')][f_nr - 1]
+        return self.annotation_dir(vid_nr) / folder / f'{stem}.png'
 
 
-class SALICONDataset(_SaliencyFolderDataset):
-    """Static image saliency (T=1 batches)."""
-    env_var = 'SALICON_DATA_DIR'
+class SALICONDataset:
+    """SALICON with the reference's COCO conventions
+    (``unisal/data.py:49-130``): ``images/COCO_{train|val}2014_NNNNNNNNNNNN
+    .jpg``, ``maps/{phase}/...png``, ``fixations/{phase}/...png`` (raw
+    ``.mat`` fixations converted on first access, reference
+    ``get_fixation_map``)."""
+
     source = 'SALICON'
-    seq_len = 1
+    env_var = 'SALICON_DATA_DIR'
     frame_modulo = 1
+
+    def __init__(self, phase: str = 'train', data_dir=None,
+                 out_size=(288, 384), target_size=(480, 640), subset=None,
+                 seed: int = 0):
+        self.phase = phase
+        self.train = phase == 'train'
+        data_dir = data_dir or os.environ.get(self.env_var)
+        if not data_dir:
+            raise FileNotFoundError(f'{self.env_var} is not set')
+        self.dir = Path(data_dir)
+        self.out_size = tuple(out_size)
+        self.target_size = tuple(target_size)
+        self.phase_str = 'val' if phase in ('valid', 'eval') else phase
+        self.file_stem = f'COCO_{self.phase_str}2014_'
+        self.rng = np.random.default_rng(seed)
+
+        self.samples = sorted(
+            int(f.stem[-12:])
+            for f in (self.dir / 'images').glob(self.file_stem + '*.jpg'))
+        if not self.samples:
+            raise FileNotFoundError(
+                f'no {self.file_stem}*.jpg under {self.dir}/images')
+        if subset is not None:
+            self.samples = self.samples[:int(len(self.samples) * subset)]
+        self.n_images_dict = {n: 1 for n in self.samples}
+        self.target_size_dict = {n: self.target_size for n in self.samples}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _img_file(self, img_nr):
+        return self.dir / 'images' / \
+            f'{self.file_stem}{img_nr:012d}.jpg'
+
+    def _map_file(self, img_nr):
+        return self.dir / 'maps' / self.phase_str / \
+            f'{self.file_stem}{img_nr:012d}.png'
+
+    def _fix_file(self, img_nr):
+        return self.dir / 'fixations' / self.phase_str / \
+            f'{self.file_stem}{img_nr:012d}.png'
+
+    def get_fixation_map(self, img_nr):
+        import cv2
+        f = self._fix_file(img_nr)
+        if f.exists():
+            return cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        # Raw .mat fixations (reference data.py:97-111).
+        import scipy.io
+        mat = self._fix_file(img_nr).with_suffix('.mat')
+        fix_data = scipy.io.loadmat(mat)
+        res = fix_data['resolution'].tolist()[0]
+        fix_map = np.zeros(res, np.uint8)
+        for gaze in fix_data['gaze'][:, 0]:
+            pts = gaze[2]
+            fix_map[pts[:, 1] - 1, pts[:, 0] - 1] = 255
+        cv2.imwrite(str(f), fix_map)
+        return fix_map
+
+    def get_data(self, img_nr):
+        import cv2
+        from retargetvid_tpu.ops.resize import resize
+        img = cv2.cvtColor(cv2.imread(str(self._img_file(img_nr))),
+                           cv2.COLOR_BGR2RGB)
+        sal = cv2.imread(str(self._map_file(img_nr)), cv2.IMREAD_GRAYSCALE)
+        fix = self.get_fixation_map(img_nr)
+        x = np.asarray(preprocess_frames(img[None], self.out_size))[0]
+        sal_r = np.asarray(resize(sal[None].astype(np.float32),
+                                  self.out_size, 'lanczos'))[0]
+        sal_r = np.clip(sal_r, 0, None)
+        sal_r = sal_r / max(sal_r.sum(), 1e-6)
+        fix_r = np.asarray(resize(fix[None].astype(np.float32),
+                                  self.out_size, 'nearest'))[0]
+        return ([1], x, sal_r[..., None],
+                (fix_r > 127).astype(np.float32)[..., None],
+                self.target_size)
+
+    def sample(self, batch_size: int = 1):
+        xs, sals, fixs = [], [], []
+        for _ in range(batch_size):
+            img_nr = self.samples[int(self.rng.integers(len(self.samples)))]
+            _, x, sal, fix, _ = self.get_data(img_nr)
+            xs.append(x[None])
+            sals.append(sal[None])
+            fixs.append(fix[None])
+        return np.stack(xs), np.stack(sals), np.stack(fixs)
 
 
 # ---------------------------------------------------------------------------

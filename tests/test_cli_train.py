@@ -14,20 +14,21 @@ def test_cli_help(sub, capsys):
     assert sub in capsys.readouterr().out
 
 
-def _saliency_tree(root, n_videos=2, n_frames=8, hw=(64, 64)):
+def _saliency_tree(root, n_videos=3, n_frames=12, hw=(64, 64)):
+    """Reference DHF1K layout: annotation/NNNN/{images,maps,fixation}/
+    NNNN.png, 1-based 4-digit frame numbers (unisal/data.py:686-699)."""
     import cv2
     rng = np.random.default_rng(0)
     for v in range(n_videos):
+        vdir = root / 'annotation' / f'{v + 1:04d}'
         for sub in ('images', 'maps', 'fixation'):
-            (root / f'{v + 1:03d}' / sub).mkdir(parents=True)
-        for f in range(n_frames):
+            (vdir / sub).mkdir(parents=True)
+        for f in range(1, n_frames + 1):
             img = rng.integers(0, 255, (*hw, 3)).astype(np.uint8)
-            cv2.imwrite(str(root / f'{v + 1:03d}' / 'images' / f'{f:04d}.png'),
-                        img)
-            cv2.imwrite(str(root / f'{v + 1:03d}' / 'maps' / f'{f:04d}.png'),
+            cv2.imwrite(str(vdir / 'images' / f'{f:04d}.png'), img)
+            cv2.imwrite(str(vdir / 'maps' / f'{f:04d}.png'),
                         rng.integers(0, 255, hw).astype(np.uint8))
-            cv2.imwrite(str(root / f'{v + 1:03d}' / 'fixation' /
-                            f'{f:04d}.png'),
+            cv2.imwrite(str(vdir / 'fixation' / f'{f:04d}.png'),
                         (rng.random(hw) > 0.99).astype(np.uint8) * 255)
 
 
@@ -39,13 +40,13 @@ def test_cli_train_then_score(tmp_path, monkeypatch):
     monkeypatch.setenv('DHF1K_DATA_DIR', str(data))
     train_dir = tmp_path / 'run'
     cli.main(['train', '--train-dir', str(train_dir), '--sources', 'DHF1K',
-              '--num-epochs', '1', '--batch-size', '1',
+              '--num-epochs', '1', '--batch-size', '1', '--seq-len', '2',
               '--batches-per-epoch', '2', '--valid-batches', '1',
               '--chkpnt-warmup', '0', '--chkpnt-epochs', '1'])
     assert (train_dir / 'all_scalars.json').exists()
     assert list(train_dir.glob('chkpnt_epoch*.pkl'))
     cli.main(['score', '--train-dir', str(train_dir), '--source', 'DHF1K',
-              '--batch-size', '1', '--n-batches', '1'])
+              '--batch-size', '1', '--n-batches', '1', '--seq-len', '2'])
 
 
 @pytest.mark.slow
