@@ -113,10 +113,12 @@ def _mobile_gru_conv(w: _TreeWriter, sd, tpre, fpre):
     w.conv(sd, f'{tpre}.conv_sep', f'{fpre}/conv_sep')
 
 
-def convert_unisal_state_dict(sd) -> Tuple[dict, dict, list]:
+def convert_unisal_state_dict(sd, smoothing_rank=8) -> Tuple[dict, dict, list]:
     """Convert a reference UNISAL state_dict.
 
-    Returns (params, batch_stats, unconsumed_keys).
+    ``smoothing_rank``: factorize the 41x41 smoothing kernels into SVD
+    factors matching ``UNISAL(smoothing_rank=r)`` (None = keep the full
+    kernel).  Returns (params, batch_stats, unconsumed_keys).
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
     w = _TreeWriter()
@@ -133,7 +135,18 @@ def convert_unisal_state_dict(sd) -> Tuple[dict, dict, list]:
             w.consumed.add(f'coarse_gaussians_{lo}')
         w.conv(sd, f'adaptation_{lo}.0', f'adaptation_{lo}', bias=True)
         sm = sd[f'smoothing_{lo}.weight']
-        w.params_entry(f'smoothing_{lo}', _conv_w(sm))
+        rank = smoothing_rank
+        if rank:
+            from retargetvid_tpu.models.unisal import factorize_smoothing_kernel
+            k2d = np.asarray(_conv_w(sm))[:, :, 0, 0]
+            kv, kh, trunc = factorize_smoothing_kernel(k2d, rank)
+            if trunc > 1e-4:
+                print(f' note: smoothing_{lo} SVD rank-{rank} truncation '
+                      f'{trunc:.2e}')
+            w.params_entry(f'smoothing_v_{lo}', kv)
+            w.params_entry(f'smoothing_h_{lo}', kh)
+        else:
+            w.params_entry(f'smoothing_{lo}', _conv_w(sm))
         w.consumed.add(f'smoothing_{lo}.weight')
 
     _invres(w, sd, 'post_cnn.inv_res.conv', 'post_cnn',
@@ -196,7 +209,8 @@ def load_unisal_variables(model, state_dict, example_input=None,
         example_input = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(rng_seed), example_input,
                            static=False if model.with_rnn else True)
-    params, stats, unconsumed = convert_unisal_state_dict(state_dict)
+    params, stats, unconsumed = convert_unisal_state_dict(
+        state_dict, smoothing_rank=getattr(model, 'smoothing_rank', None))
     variables = jax.tree_util.tree_map(np.asarray, variables)
     var_dict = {'params': dict(variables['params']),
                 'batch_stats': dict(variables.get('batch_stats', {}))}
