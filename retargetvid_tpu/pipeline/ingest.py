@@ -112,7 +112,8 @@ def read_and_segment_video(video_path, crop_params: dict,
     inference, e.g. ``models.transnet.predict_video_windows`` partial).
     ``saliency_fn``: (T, SAL_H, SAL_W, 3) uint8 -> (T, SAL_H, SAL_W) uint8.
     """
-    from retargetvid_tpu.io.video import VideoReader, probe_video
+    from retargetvid_tpu.io.native_reader import open_reader
+    from retargetvid_tpu.io.video import probe_video
 
     t0 = time.perf_counter()
     info = probe_video(video_path)
@@ -128,7 +129,7 @@ def read_and_segment_video(video_path, crop_params: dict,
 
     import jax.numpy as jnp
 
-    reader = VideoReader(video_path)
+    reader = open_reader(video_path)
 
     trans_probs: list = []
     true_inds: list = []
@@ -356,7 +357,8 @@ def read_video_structure(video_path, crop_params: dict,
     ``smartVidCrop.py:248-374``, is a streaming construct; DHF1K clips are
     ~450 frames).
     """
-    from retargetvid_tpu.io.video import VideoReader, probe_video
+    from retargetvid_tpu.io.native_reader import open_reader
+    from retargetvid_tpu.io.video import probe_video
 
     info = probe_video(video_path)
     fr, w, h = info['fps'], info['width'], info['height']
@@ -366,7 +368,7 @@ def read_video_structure(video_path, crop_params: dict,
 
     import jax.numpy as jnp
 
-    reader = VideoReader(video_path)
+    reader = open_reader(video_path)
     tn_parts, sal_parts = [], []
     for chunk, _ in reader.chunks(256):
         tn, sal = kernel(chunk)

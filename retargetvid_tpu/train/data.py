@@ -104,8 +104,8 @@ class FolderVideoDataset(MemoryFramesDataset):
             images = [cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
                       for p in files]
         else:
-            from retargetvid_tpu.io.video import VideoReader
-            reader = VideoReader(path)
+            from retargetvid_tpu.io.native_reader import open_reader
+            reader = open_reader(path)
             images = list(reader.frames())
             reader.stop()
         super().__init__(images, frame_modulo=frame_modulo or 5)

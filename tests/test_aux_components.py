@@ -173,3 +173,39 @@ class TestMemoryDatasets:
         monkeypatch.delenv('DHF1K_DATA_DIR', raising=False)
         with pytest.raises(FileNotFoundError):
             DHF1KDataset()
+
+
+class TestNativeReader:
+    """C++ decode loader == Python threaded reader, frame for frame."""
+
+    def test_native_reader_matches_python(self, tmp_path):
+        import cv2
+
+        from retargetvid_tpu.io.native_reader import (
+            native_available,
+            open_reader,
+        )
+        from retargetvid_tpu.io.video import VideoReader
+
+        if not native_available():
+            pytest.skip('native reader toolchain unavailable')
+        path = str(tmp_path / 'clip.mp4')
+        w, h, n = 128, 72, 23
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                                 30.0, (w, h))
+        if not writer.isOpened():
+            pytest.skip('cv2 cannot encode mp4 here')
+        rng = np.random.default_rng(3)
+        for _ in range(n):
+            writer.write(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        writer.release()
+
+        native = open_reader(path)
+        assert type(native).__name__ == 'NativeVideoReader'
+        got = np.concatenate([c for c, _ in native.chunks(7)])
+        native.stop()
+        pyr = VideoReader(path)
+        ref = np.stack(list(pyr.frames()))
+        pyr.stop()
+        assert got.shape == ref.shape == (n, h, w, 3)
+        assert np.array_equal(got, ref)
