@@ -77,7 +77,7 @@ def main():
     resize_kernel = _resize_kernel(h, w, sal_h, sal_w)
 
     # Models (random weights; bf16 compute for the saliency net).
-    tn_model = TransNetV1()
+    tn_model = TransNetV1(dtype=jnp.bfloat16)
     tn_params = tn_model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
     tn_predict = TransNetPredictor(tn_model, tn_params)

@@ -28,43 +28,103 @@ INPUT_HEIGHT = 27
 INPUT_WIDTH = 48
 
 
-class DDCNN(nn.Module):
-    """Four parallel temporally-dilated 3D convs, channel-concatenated."""
+class _DilConvParams(nn.Module):
+    """Parameter container matching ``nn.Conv``'s tree (kernel DHWIO + bias)."""
+    in_ch: int
     filters: int
+
+    def setup(self):
+        self.kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (3, 3, 3, self.in_ch, self.filters))
+        self.bias = self.param('bias', nn.initializers.zeros,
+                               (self.filters,))
+
+    def __call__(self):                                  # pragma: no cover
+        return self.kernel, self.bias
+
+
+def _tshift(y, s: int):
+    """Shift along axis 1 with zero fill: out[t] = y[t - s]."""
+    if s == 0:
+        return y
+    t = y.shape[1]
+    pad = [(0, 0)] * y.ndim
+    if s > 0:
+        pad[1] = (s, 0)
+        return jnp.pad(y, pad)[:, :t]
+    pad[1] = (0, -s)
+    return jnp.pad(y, pad)[:, -s:]
+
+
+class DDCNN(nn.Module):
+    """Four parallel temporally-dilated 3D convs, channel-concatenated.
+
+    Computed EXACTLY as three 2-D convs (time folded into the batch) plus
+    zero-padded temporal shifts: a SAME Conv3D with temporal dilation d is
+    ``sum_j K[j] * x[t + (j-1)d]`` with zeros outside the clip, so each
+    temporal tap is a plain NHWC conv2d evaluated once for all frames and
+    shifted.  XLA's TPU lowering of temporally-dilated Conv3D runs at ~10%
+    MFU; the folded conv2d formulation uses the standard MXU conv path.
+    Parameter tree is identical to the ``nn.Conv`` stack (conversion and
+    checkpoints unaffected).
+    """
+    filters: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        b, t, h, w, c = x.shape
+        mods = [_DilConvParams(c, self.filters, name=f'conv3d_dil{d}')
+                for d in (1, 2, 4, 8)]
+        cdtype = self.dtype or x.dtype
+        x2 = x.reshape(b * t, h, w, c).astype(cdtype)
+        taps = []
+        for j in range(3):
+            kj = jnp.concatenate([m.kernel[j] for m in mods],
+                                 axis=-1).astype(cdtype)          # (3,3,c,4F)
+            yj = jax.lax.conv_general_dilated(
+                x2, kj, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            taps.append(yj.reshape(b, t, h, w, 4 * self.filters))
         outs = []
-        for d in (1, 2, 4, 8):
-            y = nn.Conv(self.filters, (3, 3, 3),
-                        kernel_dilation=(d, 1, 1),
-                        padding='SAME', use_bias=True,
-                        name=f'conv3d_dil{d}')(x)
-            outs.append(nn.relu(y))
+        for bi, d in enumerate((1, 2, 4, 8)):
+            sl = slice(bi * self.filters, (bi + 1) * self.filters)
+            y = (_tshift(taps[0][..., sl], d) + taps[1][..., sl] +
+                 _tshift(taps[2][..., sl], -d))
+            outs.append(nn.relu(y + mods[bi].bias.astype(cdtype)))
         return jnp.concatenate(outs, axis=-1)
 
 
 class TransNetV1(nn.Module):
-    """TransNet V1: (B, T, 27, 48, 3) uint8/float -> (B, T) transition probs."""
+    """TransNet V1: (B, T, 27, 48, 3) uint8/float -> (B, T) transition probs.
+
+    ``dtype``: compute dtype for the conv/dense stack (params stay f32; the
+    softmax runs in f32).  bf16 keeps the dilated Conv3D stack on the MXU
+    fast path; shot decisions only threshold the probability at 0.1, far
+    from bf16's resolution (see test_models_transnet bf16 agreement test).
+    """
     f: int = 16     # base filters
     l: int = 3      # SDDCNN stages
     s: int = 2      # DDCNN cells per stage
     d: int = 256    # dense width
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(jnp.float32) / 255.0
+        x = x.astype(self.dtype or jnp.float32) / 255.0
         for idx_l in range(self.l):
             filters = (2 ** idx_l) * self.f
             for idx_s in range(self.s):
-                x = DDCNN(filters, name=f'sddcnn{idx_l + 1}_ddcnn{idx_s + 1}')(x)
+                x = DDCNN(filters, dtype=self.dtype,
+                          name=f'sddcnn{idx_l + 1}_ddcnn{idx_s + 1}')(x)
             # Spatial-only max pool (1, 2, 2).
             x = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
         b, t = x.shape[0], x.shape[1]
         x = x.reshape(b, t, -1)
-        x = nn.relu(nn.Dense(self.d, name='dense1')(x))
-        logits = nn.Dense(2, name='dense2')(x)
-        return jax.nn.softmax(logits, axis=-1)[..., 1]
+        x = nn.relu(nn.Dense(self.d, dtype=self.dtype, name='dense1')(x))
+        logits = nn.Dense(2, dtype=self.dtype, name='dense2')(x)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
 
 class TransNetPredictor:

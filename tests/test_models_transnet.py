@@ -119,3 +119,23 @@ def test_transnet_predictor_matches_eager_windows():
             lambda b: model.apply(params, b), frames)
         fused = TransNetPredictor(model, params)(frames)
         np.testing.assert_allclose(fused, eager, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_compute_dtype_agrees_on_decisions():
+    """bf16 conv stack: probabilities within 1e-2, scene decisions equal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from retargetvid_tpu.models.transnet import TransNetV1
+
+    m32 = TransNetV1(f=4, d=16)
+    mbf = TransNetV1(f=4, d=16, dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(0, 255, (2, 30, 27, 48, 3)).astype(np.uint8))
+    p32 = np.asarray(m32.apply(params, x))
+    pbf = np.asarray(mbf.apply(params, x))
+    assert np.abs(p32 - pbf).max() < 1e-2
+    assert ((p32 > 0.1) == (pbf > 0.1)).all()
