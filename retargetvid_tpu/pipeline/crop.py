@@ -47,14 +47,30 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
                    transnet_fn: Optional[Callable] = None,
                    saliency_fn: Optional[Callable] = None,
                    vid_data: Optional[dict] = None,
-                   copy_sound: bool = False):
+                   copy_sound: bool = False,
+                   callback_progress: Optional[Callable] = None,
+                   callback_session=None,
+                   callback_status: Optional[Callable] = None):
     """Smart-crop one video; returns ``(vid_data, results_dict)``.
 
     Reference-compatible signature plus injection points: ``transnet_fn`` /
     ``saliency_fn`` supply the model forwards (so tests and the benchmark
     runner control weights), and ``vid_data`` short-circuits ingest entirely
     (the reference's feature-cache path, ``smartVidCrop.py:2244-2256``).
+    ``callback_progress/_session/_status`` reproduce the ISM web-service
+    progress protocol (``smartVidCrop.py:2258-2531``): status updates at the
+    analysis / processing / rendering stage transitions, progress reports of
+    0.12x the video duration per stage.
     """
+
+    def _status(code, label):
+        if callback_status is not None and callback_session is not None:
+            callback_status(callback_session, 'sc', code, label)
+
+    def _progress(vd_local, stage):
+        if callback_progress is not None and callback_session is not None:
+            dur = vd_local['fc'] / vd_local['fr'] if vd_local['fr'] else 0.0
+            callback_progress(callback_session, dur * 0.12, stage)
     sc_init_time()
     results: dict = {}
     do_pad = False
@@ -73,6 +89,7 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
             for k, v in vd.get('times', {}).items():
                 sc_save_time_override(k, v)
 
+    _status('SC VIDEO ANALYSIS', 'smart-cropping video analysis')
     if vd is None:
         if str(video_path).endswith('.pkl'):
             if saliency_fn is None:
@@ -91,6 +108,9 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
             cache_file.parent.mkdir(parents=True, exist_ok=True)
             save_vid_data(cache_file, vd)
 
+    _progress(vd, 'STAGE#1')
+    _status('SC PROCESSING', 'smart-cropping main process')
+    _progress(vd, 'STAGE#2')
     smaps = vd['smaps']                                   # (T, H, W) uint8
 
     # Destination size (reference :2298).
@@ -165,6 +185,8 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
         plot_smoothing_preview(vd, plots_fn)
 
     # Rendering (optional; reference :2536-2553).
+    _status('SC RENDERING', 'smart-cropping rendering')
+    _progress(vd, 'STAGE#3')
     t = time.perf_counter()
     if save_vid and str(video_path).endswith('.pkl') and not do_pad:
         # Web-service mode: cropped frames go back out as <stem>_sc.pkl.

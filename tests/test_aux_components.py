@@ -209,3 +209,44 @@ class TestNativeReader:
         pyr.stop()
         assert got.shape == ref.shape == (n, h, w, 3)
         assert np.array_equal(got, ref)
+
+
+class TestWebServiceCallbacks:
+    """smart_vid_crop drives the ISM web-service callback protocol
+    (reference smartVidCrop.py:2258-2531)."""
+
+    def test_status_and_progress_sequence(self):
+        from retargetvid_tpu.config import sc_init_crop_params
+        from retargetvid_tpu.pipeline.crop import smart_vid_crop
+
+        rng = np.random.default_rng(0)
+        t_sel, h, w = 10, 36, 64
+        smaps = np.zeros((t_sel, h, w), np.uint8)
+        for i in range(t_sel):
+            smaps[i, 10:20, 20 + i:34 + i] = 200
+        vd = {
+            'layout': 'thw', 'smaps': smaps,
+            'segmentation': np.array([[0, 59]]),
+            'segmentation_sel': np.array([[0, t_sel - 1]]),
+            'true_inds': list(range(0, 60, 6)),
+            'inds_to_orig': [1] * 60,
+            'fr': 30.0, 'fc': 60, 'fc_sel': t_sel,
+            'h_orig': 180, 'w_orig': 320, 'h_process': h, 'w_process': w,
+        }
+        cp = sc_init_crop_params()
+        cp['out_ratio'] = '1:3'
+        statuses, progresses = [], []
+        smart_vid_crop(
+            'unused.mp4', cp, vid_data=vd, save_vid=False,
+            callback_session='sess-1',
+            callback_status=lambda s, mod, code, label:
+                statuses.append((s, mod, code)),
+            callback_progress=lambda s, t, stage:
+                progresses.append((s, round(t, 3), stage)))
+        assert [c for _, _, c in statuses] == [
+            'SC VIDEO ANALYSIS', 'SC PROCESSING', 'SC RENDERING']
+        assert all(s == 'sess-1' for s, _, _ in statuses)
+        assert [st for _, _, st in progresses] == [
+            'STAGE#1', 'STAGE#2', 'STAGE#3']
+        # 0.12 x the 2-second clip duration per stage
+        assert all(abs(t - 0.24) < 1e-6 for _, t, _ in progresses)
