@@ -399,7 +399,11 @@ def cmd_predict(args):
     out_dir = Path(args.out or (str(path) + '_saliency'))
     out_dir.mkdir(parents=True, exist_ok=True)
     frames = np.stack(ds.images)
-    maps = predictor.predict(frames)
+    if args.dynamic:
+        maps = predictor.predict_video(frames, source=args.source,
+                                       smooth_method=args.smooth or None)
+    else:
+        maps = predictor.predict(frames)
     for name, m in zip(names, maps):
         cv2.imwrite(str(out_dir / f'{name}.png'), m)
     print(f' wrote {len(names)} saliency maps to {out_dir}')
@@ -489,6 +493,12 @@ def main(argv=None):
     pr.add_argument('--unisal-weights', default=os.environ.get(
         'UNISAL_WEIGHTS', ''))
     pr.add_argument('--chunk', type=int, default=32)
+    pr.add_argument('--dynamic', action='store_true',
+                    help='recurrent (ConvGRU) video mode with interleaved '
+                         'frame-modulo inference (reference run_inference)')
+    pr.add_argument('--source', default='DHF1K')
+    pr.add_argument('--smooth', default='',
+                    help="temporal smoother for --dynamic, e.g. 'med41'")
     pr.set_defaults(fn=cmd_predict)
 
     args = p.parse_args(argv)

@@ -79,8 +79,11 @@ class SaliencyPredictor:
         self.dtype = dtype
         if variables is None:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
-            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
-                                        static=True)
+            # Init the dynamic path so the tree includes the RNN parameters
+            # (the static forward simply never reads them).
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed), x0,
+                static=not getattr(self.model, 'with_rnn', False))
         self.variables = variables
 
     @functools.lru_cache(maxsize=16)
@@ -101,6 +104,62 @@ class SaliencyPredictor:
             return p.astype(jnp.uint8)
 
         return jax.jit(fn)
+
+    def predict_video(self, frames, *, source: str = 'DHF1K',
+                      frame_modulo: int = 4, seq_len: int = 6,
+                      smooth_method=None) -> np.ndarray:
+        """Dynamic (ConvGRU) whole-video saliency with the reference's
+        interleaved frame-modulo scheme (``train.py:425-556``).
+
+        Each of the ``frame_modulo`` phase-offset subsequences runs through
+        the recurrent model in ``seq_len``-frame chunks with the hidden
+        state carried across chunk boundaries (a host-level scan; the GRU
+        inside each chunk is a ``lax.scan``); the per-offset predictions
+        interleave back into frame order.  ``smooth_method`` optionally
+        applies the reference's median/mean temporal smoother over the
+        interleaved sequence (``utils.smooth_sequence``).
+
+        Returns (T, H, W) uint8 maps.
+        """
+        import functools as _ft
+
+        t, h, w, _ = frames.shape
+        net_hw = get_optimal_out_size((h, w))
+        frames = jnp.asarray(frames)
+        model = self.model
+        variables = self.variables
+
+        @_ft.lru_cache(maxsize=8)
+        def chunk_fn(n: int):
+            def fn(batch, h0):
+                x = preprocess_frames(batch, net_hw).astype(self.dtype)
+                logp, h1 = model.apply(variables, x[None], target_size=(h, w),
+                                       source=source, static=False, h0=h0)
+                return logp[0, :, :, :, 0].astype(jnp.float32), h1
+            return jax.jit(fn)
+
+        logps = np.zeros((t, h, w), np.float32)
+        for offset in range(min(frame_modulo, t)):
+            idx = list(range(offset, t, frame_modulo))
+            h0 = None
+            for s in range(0, len(idx), seq_len):
+                sel = idx[s:s + seq_len]
+                batch = frames[jnp.asarray(sel)]
+                n = len(sel)
+                if n < seq_len:           # ragged tail: pad, trim after
+                    batch = jnp.concatenate(
+                        [batch, jnp.repeat(batch[-1:], seq_len - n, axis=0)])
+                logp, h0 = chunk_fn(seq_len)(batch, h0)
+                logps[sel] = np.asarray(logp)[:n]
+
+        if smooth_method is not None:
+            from retargetvid_tpu.utils.sequence import smooth_sequence
+            logps = smooth_sequence(logps, smooth_method)
+
+        p = np.exp(logps)
+        mx = p.max(axis=(1, 2), keepdims=True)
+        p = np.where(mx > 0, p / mx, p) * 255.0
+        return p.astype(np.uint8)
 
     def predict(self, frames, return_device: bool = False):
         """Run saliency over (T, H, W, 3) uint8 frames -> (T, H, W) uint8.

@@ -250,3 +250,56 @@ class TestWebServiceCallbacks:
             'STAGE#1', 'STAGE#2', 'STAGE#3']
         # 0.12 x the 2-second clip duration per stage
         assert all(abs(t - 0.24) < 1e-6 for _, t, _ in progresses)
+
+
+class TestDynamicVideoPredictor:
+    """predict_video: interleaved frame-modulo recurrent inference
+    (reference train.py:425-556)."""
+
+    def test_chunked_carryover_matches_single_pass(self):
+        import jax
+        import jax.numpy as jnp
+
+        from retargetvid_tpu.models.unisal import UNISAL
+        from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+        rng = np.random.default_rng(0)
+        t, h, w = 9, 64, 64
+        frames = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+        pred = SaliencyPredictor(model=UNISAL())
+        maps = pred.predict_video(frames, frame_modulo=3, seq_len=2)
+        assert maps.shape == (t, h, w)
+        assert maps.dtype == np.uint8
+        assert maps.max() > 0
+
+        # One offset processed whole == processed in carried chunks.
+        from retargetvid_tpu.pipeline.saliency import (
+            get_optimal_out_size,
+            preprocess_frames,
+        )
+        net_hw = get_optimal_out_size((h, w))
+        idx = [0, 3, 6]
+        x = jnp.asarray(preprocess_frames(frames[idx], net_hw))[None]
+        whole, _ = pred.model.apply(pred.variables, x, target_size=(h, w),
+                                    source='DHF1K', static=False)
+        whole = np.asarray(whole[0, :, :, :, 0])
+        part = []
+        h0 = None
+        for s in range(0, 3, 2):
+            xs = x[:, s:s + 2]
+            lp, h0 = pred.model.apply(pred.variables, xs, target_size=(h, w),
+                                      source='DHF1K', static=False, h0=h0)
+            part.append(np.asarray(lp[0, :, :, :, 0]))
+        part = np.concatenate(part)
+        np.testing.assert_allclose(part, whole, rtol=1e-4, atol=1e-5)
+
+    def test_smooth_method_applies(self):
+        from retargetvid_tpu.models.unisal import UNISAL
+        from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (6, 64, 64, 3)).astype(np.uint8)
+        pred = SaliencyPredictor(model=UNISAL())
+        maps = pred.predict_video(frames, frame_modulo=2, seq_len=3,
+                                  smooth_method='med3')
+        assert maps.shape == (6, 64, 64)
