@@ -608,6 +608,74 @@ class Trainer(KwConfig):
         return {m: float(np.nanmean(v)) if v else float('nan')
                 for m, v in totals.items()}
 
+    def run_inference(self, frames, *, source: str = 'DHF1K',
+                      frame_modulo: int = 4, seq_len: int = 6,
+                      smooth_method=None, sal=None, fix=None,
+                      metrics=('kld', 'nss', 'cc', 'sim', 'aucj')):
+        """Whole-video recurrent inference + optional scoring (reference
+        ``run_inference``, train.py:425-556).
+
+        ``frames``: (T, H, W, 3) uint8.  With ``sal``/``fix`` targets
+        ((T, H, W) float/binary), returns ``(maps, scores)``; otherwise
+        ``(maps, None)``.  Dynamic sources run the interleaved frame-modulo
+        recurrent scheme; static sources (SALICON/MIT*) run per-frame.
+        """
+        from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
+
+        predictor = SaliencyPredictor(
+            variables={'params': self.state.params,
+                       'batch_stats': self.state.batch_stats},
+            model=self.model.clone(bn_train=False), source=source)
+        static = source in ('SALICON', 'MIT300', 'MIT1003')
+        if static:
+            maps = predictor.predict(frames)
+        else:
+            maps = predictor.predict_video(
+                frames, source=source, frame_modulo=frame_modulo,
+                seq_len=seq_len, smooth_method=smooth_method)
+        if sal is None and fix is None:
+            return maps, None
+
+        from retargetvid_tpu.eval.saliency_metrics import auc_judd, sim
+        pred = maps.astype(np.float32)
+        pred = pred / np.maximum(pred.sum(axis=(1, 2), keepdims=True), 1e-6)
+        scores: dict = {}
+        if sal is not None:
+            sal = np.asarray(sal, np.float32)
+            sal_n = sal / np.maximum(sal.sum(axis=(1, 2), keepdims=True),
+                                     1e-6)
+            if 'kld' in metrics:
+                eps = 1e-7
+                scores['kld'] = float(np.mean(np.sum(
+                    sal_n * np.log(eps + sal_n / (pred + eps)),
+                    axis=(1, 2))))
+            if 'cc' in metrics:
+                ccs = []
+                for i in range(pred.shape[0]):
+                    a, b = pred[i].ravel(), sal_n[i].ravel()
+                    if a.std() > 0 and b.std() > 0:
+                        ccs.append(float(np.corrcoef(a, b)[0, 1]))
+                scores['cc'] = float(np.mean(ccs)) if ccs else float('nan')
+            if 'sim' in metrics:
+                scores['sim'] = float(np.mean(
+                    [sim(pred[i], sal_n[i]) for i in range(pred.shape[0])]))
+        if fix is not None:
+            fixb = np.asarray(fix) > 0.5
+            if 'nss' in metrics:
+                vals = []
+                for i in range(pred.shape[0]):
+                    p = pred[i]
+                    std = p.std()
+                    if std > 0 and fixb[i].any():
+                        z = (p - p.mean()) / std
+                        vals.append(float(z[fixb[i]].mean()))
+                scores['nss'] = float(np.mean(vals)) if vals else float('nan')
+            if 'aucj' in metrics:
+                scores['aucj'] = float(np.nanmean(
+                    [auc_judd(pred[i], fixb[i].astype(np.float32))
+                     for i in range(pred.shape[0])]))
+        return maps, scores
+
     # -- checkpointing (reference train.py:1627-1650 equivalents) ---------
     def save_chkpnt(self, directory, epoch: int) -> Path:
         directory = Path(directory)
