@@ -184,6 +184,68 @@ class TransNetPredictor:
         return np.asarray(probs[:n])
 
 
+class IngestShotProgram:
+    """Raw frames -> (saliency-res frames, shot probabilities) in ONE jit.
+
+    Fuses the ingest's two resizes (``pipeline.ingest._resize_kernel``) with
+    the whole TransNet window plan, removing one dispatch round trip per
+    clip (~25 ms on the dev relay).  The saliency-resolution frames stay on
+    device for the fused clip program; only the (N,) probabilities return to
+    the host (the sampling rule needs them).
+    """
+
+    def __init__(self, model: "TransNetV1", params, *,
+                 sal_hw, window: int = 100, stride: int = 50,
+                 keep: tuple = (25, 75)):
+        self.model = model
+        self.params = params
+        self.sal_hw = tuple(sal_hw)
+        self.window = window
+        self.stride = stride
+        self.keep = keep
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, n_pad: int, h: int, w: int):
+        from retargetvid_tpu.ops.resize import resize, round_half_up
+
+        window, stride, keep = self.window, self.stride, self.keep
+        sal_h, sal_w = self.sal_hw
+        m = window // stride
+        k = -(-(n_pad + window - stride + keep[0]) // stride)
+        length = k * stride
+        n_w = k - m + 1
+        model = self.model
+
+        @jax.jit
+        def fn(params, frames, n):
+            to_u8 = lambda v: jnp.clip(round_half_up(v), 0, 255).astype(
+                jnp.uint8)
+            tn = to_u8(resize(frames, (INPUT_HEIGHT, INPUT_WIDTH), 'linear'))
+            sal = to_u8(resize(frames, (sal_h, sal_w), 'linear'))
+            src = jnp.clip(jnp.arange(length) - keep[0], 0, n - 1)
+            blocks = tn[src].reshape(k, stride, INPUT_HEIGHT, INPUT_WIDTH, 3)
+            windows = jnp.concatenate(
+                [blocks[off:off + n_w] for off in range(m)], axis=1)
+            probs = model.apply(params, windows)
+            return sal, probs[:, keep[0]:keep[1]].reshape(-1)[:n_pad]
+
+        return fn
+
+    def __call__(self, frames):
+        """(N, H, W, 3) uint8 -> (device sal frames (N,sal_h,sal_w,3),
+        numpy probs (N,))."""
+        frames = jnp.asarray(frames)
+        n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        n_pad = -(-n // 64) * 64
+        if n_pad != n:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((n_pad - n,) + frames.shape[1:],
+                                   frames.dtype)], axis=0)
+        sal, probs = self._compiled(n_pad, int(h), int(w))(
+            self.params, frames, jnp.int32(n))
+        return sal[:n], np.asarray(probs[:n])
+
+
 def predict_video_windows(apply_fn, frames, window: int = 100,
                           stride: int = 50, keep: tuple = (25, 75),
                           batch_windows: int = 64):

@@ -369,21 +369,20 @@ def read_video_structure(video_path, crop_params: dict,
     import jax.numpy as jnp
 
     reader = open_reader(video_path)
-    tn_parts, sal_parts = [], []
-    for chunk, _ in reader.chunks(256):
-        tn, sal = kernel(chunk)
-        tn_parts.append(tn)
-        sal_parts.append(sal)
+    raw_parts = [jnp.asarray(chunk) for chunk, _ in reader.chunks(256)]
     reader.stop()
-    tn_frames = jnp.concatenate(tn_parts) if len(tn_parts) > 1 else tn_parts[0]
-    sal_frames = jnp.concatenate(sal_parts) if len(sal_parts) > 1 \
-        else sal_parts[0]
-    fc = int(tn_frames.shape[0])
+    raw = jnp.concatenate(raw_parts) if len(raw_parts) > 1 else raw_parts[0]
+    fc = int(raw.shape[0])
     if fc > crop_params['read_batch']:
         raise ValueError(f'{video_path}: {fc} frames exceeds read_batch; '
                          'use the sequential ingest')
 
-    probs = np.asarray(transnet_fn(tn_frames))
+    from retargetvid_tpu.models.transnet import IngestShotProgram
+    if isinstance(transnet_fn, IngestShotProgram):
+        sal_frames, probs = transnet_fn(raw)
+    else:
+        tn, sal_frames = kernel(raw)
+        probs = np.asarray(transnet_fn(tn))
     selected, true_inds, map2orig = sample_frames(fc, probs, skip, fc)
     segmentation = fix_scene_bounds(
         predictions_to_scenes(probs, TRANS_THRESHOLD), fc)

@@ -139,3 +139,34 @@ def test_bf16_compute_dtype_agrees_on_decisions():
     pbf = np.asarray(mbf.apply(params, x))
     assert np.abs(p32 - pbf).max() < 1e-2
     assert ((p32 > 0.1) == (pbf > 0.1)).all()
+
+
+def test_ingest_shot_program_matches_separate_stages():
+    """IngestShotProgram == resize kernel + TransNetPredictor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from retargetvid_tpu.models.transnet import (
+        IngestShotProgram,
+        TransNetPredictor,
+        TransNetV1,
+    )
+    from retargetvid_tpu.pipeline.ingest import _resize_kernel
+
+    model = TransNetV1(f=2, d=8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    rng = np.random.default_rng(0)
+    h, w, n = 90, 160, 73
+    frames = rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+
+    fused = IngestShotProgram(model, params, sal_hw=(36, 64))
+    sal_fused, probs_fused = fused(frames)
+
+    kernel = _resize_kernel(h, w, 36, 64)
+    tn, sal_ref = kernel(frames)
+    probs_ref = TransNetPredictor(model, params)(tn)
+
+    assert np.array_equal(np.asarray(sal_fused), np.asarray(sal_ref))
+    np.testing.assert_allclose(probs_fused, probs_ref, rtol=1e-5, atol=1e-6)
