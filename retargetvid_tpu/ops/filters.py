@@ -6,17 +6,18 @@ smoothed with LOESS (default preset) or Savitzky-Golay (best preset).
 
 TPU formulations:
 
-- **Butterworth filtfilt** — an IIR filter is a linear recurrence; in direct
-  form II transposed the state update is the affine map
-  ``s_n = M s_{n-1} + v * x_n`` with a constant (order x order) matrix ``M``.
-  Affine maps compose associatively, so each filtfilt pass is one
-  ``jax.lax.associative_scan`` (O(log T) depth) instead of a sequential loop.
-  Forward/backward passes with scipy's odd-extension padding and
-  ``lfilter_zi`` initial conditions reproduce ``scipy.signal.filtfilt``
-  exactly; segments shorter than the pad length fall back to the reference's
-  box-convolution repair.  Variable segment length is handled by masking the
-  scan elements (identity map on dead lanes), so one compiled program covers
-  every segment.
+- **Butterworth filtfilt** — second-order-section cascade of the affine
+  recurrence ``s_n = M s_{n-1} + v * x_n`` run as a sequential
+  ``jax.lax.scan`` (a few hundred 2x2 steps per pass; vmapped across
+  segments/channels).  An associative-scan (O(log T) depth) formulation was
+  tried and REVERTED: composing the affine maps in a tree is numerically
+  unstable in float32 (~8 px error on real center signals vs 2e-4 for the
+  sequential form — see ``_masked_lfilter``).  Forward/backward passes with
+  scipy's odd-extension padding and per-section ``sosfilt_zi`` initial
+  conditions reproduce ``scipy.signal.filtfilt``; segments shorter than the
+  pad length fall back to the reference's box-convolution repair.  Variable
+  segment length is handled by masking the scan steps (state passthrough on
+  dead lanes), so one compiled program covers every segment.
 - **Savitzky-Golay** — window length is data-dependent (``min(fps*w, cl-2)``
   forced odd), so the static coefficient banks for every reachable odd window
   are compiled in and the live window selected per segment.  The ``interp``
@@ -26,8 +27,10 @@ TPU formulations:
   window is a closed-form contiguous range, so LOESS becomes a batched
   tricubic-weighted quadratic least-squares solve: one (T, 3, 3) solve per
   segment on the MXU, replacing the per-position Python estimator of
-  ``pyloess``.  The reference's NaN fallback (degenerate y range) is
-  reproduced.
+  ``pyloess``.  The solve runs in a window-centered/scaled basis with
+  mean-centered y and one iterative-refinement step — the raw-x Vandermonde
+  produced +-8 px float32 noise at segment tails (see ``loess_smooth``).
+  The reference's NaN fallback (degenerate y range) is reproduced.
 """
 
 from __future__ import annotations
@@ -81,26 +84,26 @@ def _butter_design(cutoff: float, fs: float, order: int):
 
 
 def _masked_lfilter(x, mask, s0, b0, m, v):
-    """lfilter over a padded sequence; masked-out lanes pass state through."""
-    t = x.shape[0]
-    n = m.shape[0]
-    eye = jnp.eye(n, dtype=jnp.float32)
-    mm = jnp.where(mask[:, None, None], m[None], eye[None])       # (T, n, n)
-    cc = jnp.where(mask[:, None], x[:, None] * v[None], 0.0)      # (T, n)
-    # Fold the initial state into element 0: s_0' = A_0 s_init + c_0.
-    first = mm[0] @ s0 + cc[0]
-    mm = mm.at[0].set(jnp.zeros((n, n)))
-    cc = cc.at[0].set(first)
+    """lfilter over a padded sequence; masked-out lanes pass state through.
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 @ a1, (a2 @ b1[..., None])[..., 0] + b2
+    Sequential ``lax.scan`` by design: an associative-scan formulation
+    (composing the per-step affine maps in a tree) is mathematically
+    equivalent but numerically unstable in float32 — long-span products of
+    the biquad transition matrix mix O(1) and O(rho^k) magnitudes and the
+    cancellation showed up as ~8 px oscillation on real center signals
+    (vs 2e-4 for this sequential form against scipy).  The scan is ~500
+    tiny steps per pass; vmapped across segments/channels it stays far
+    inside the geometry budget.
+    """
 
-    _, states = jax.lax.associative_scan(combine, (mm, cc))
-    prev_state0 = jnp.concatenate([s0[:1], states[:-1, 0]])
-    y = jnp.where(mask, b0 * x + prev_state0, x)
-    return y
+    def step(s, inp):
+        xt, mt = inp
+        y = jnp.where(mt, b0 * xt + s[0], xt)
+        s = jnp.where(mt, m @ s + v * xt, s)
+        return s, y
+
+    _, ys = jax.lax.scan(step, s0, (x, mask))
+    return ys
 
 
 def butter_lowpass_filter(x, n, cutoff: float, fs: float, order: int,
@@ -260,15 +263,31 @@ def loess_smooth(y, n, window, degree: int, max_window: int):
     u = _safe_div(dist, maxd)
     wts = jnp.where(in_win & (u <= 1.0), (1.0 - u ** 3) ** 3, 0.0)
 
-    # Weighted polynomial fit of `degree`, evaluated at xj.
+    # Weighted polynomial fit of `degree`, evaluated at xj.  The basis is
+    # CENTERED at the evaluation point and scaled by the window radius
+    # (same fitted polynomial, so still pyloess parity): the raw-x
+    # Vandermonde [1, x, x^2] at x near 1 is close to collinear and the
+    # float32 3x3 solve returned +-8 px noise at segment tails; in the
+    # centered/scaled basis the columns are O(1) and the value at the
+    # evaluation point is simply beta[0].
     powers = jnp.arange(degree + 1, dtype=jnp.float32)
-    design = xw[:, :, None] ** powers[None, None, :]            # (L, W, D)
+    xc = _safe_div(xw - xj[:, None], maxd)                      # in [-1, 1]
+    design = xc[:, :, None] ** powers[None, None, :]            # (L, W, D)
+    # Conditioning in float32: centered/scaled basis (columns O(1)), the
+    # y values centered on their weighted mean (solution magnitudes are
+    # then the LOCAL variation, not the absolute level), and one step of
+    # iterative refinement on the normal equations.  (Batched QR would be
+    # cleaner but hangs on this CPU backend.)
+    wsum = jnp.maximum(jnp.sum(wts, axis=1, keepdims=True), 1e-20)
+    ybar = jnp.sum(wts * yw, axis=1, keepdims=True) / wsum
+    yc = yw - ybar
     wd = design * wts[:, :, None]
     ata = jnp.einsum('lwd,lwe->lde', wd, design)                # (L, D, D)
-    atb = jnp.einsum('lwd,lw->ld', wd, yw)                      # (L, D)
+    atb = jnp.einsum('lwd,lw->ld', wd, yc)                      # (L, D)
     beta = jnp.linalg.solve(ata, atb[..., None])[..., 0]        # (L, D)
-    vals = jnp.sum(beta * (xj[:, None] ** powers[None, :]), axis=1)
-    out = vals * yr + ymin
+    resid = atb - jnp.einsum('lde,le->ld', ata, beta)
+    beta = beta + jnp.linalg.solve(ata, resid[..., None])[..., 0]
+    out = (beta[:, 0] + ybar[:, 0]) * yr + ymin
 
     bad = (yr == 0) | jnp.any(jnp.where(live, jnp.isnan(out), False))
     out = jnp.where(bad, y, out)

@@ -105,12 +105,18 @@ def sample_frames(n_frames: int, trans_probs: np.ndarray, skip: int,
 def read_and_segment_video(video_path, crop_params: dict,
                            transnet_fn: Callable,
                            saliency_fn: Callable,
-                           verbose: bool = False) -> dict:
+                           verbose: bool = False,
+                           quirk_batch_tail: bool = False) -> dict:
     """Decode + shot detect + sample + saliency, streaming chunks to device.
 
     ``transnet_fn``: (N, 27, 48, 3) uint8 -> (N,) probs (whole-buffer window
     inference, e.g. ``models.transnet.predict_video_windows`` partial).
     ``saliency_fn``: (T, SAL_H, SAL_W, 3) uint8 -> (T, SAL_H, SAL_W) uint8.
+
+    ``quirk_batch_tail=True`` replicates the reference's per-read-batch
+    off-by-one (the last selected frame of each batch never receives its
+    saliency map — ``smartVidCrop.py:409-421``, SURVEY.md §3.3) so parity
+    harnesses can isolate that deliberate fix; production keeps it False.
     """
     from retargetvid_tpu.io.native_reader import open_reader
     from retargetvid_tpu.io.video import probe_video
@@ -163,7 +169,8 @@ def read_and_segment_video(video_path, crop_params: dict,
         _process_batch(tn_context, sal_batch, cur_len, batch_start,
                        batch_overlap, frame_count, skip,
                        transnet_fn, saliency_fn,
-                       trans_probs, true_inds, map2orig, smaps_parts)
+                       trans_probs, true_inds, map2orig, smaps_parts,
+                       quirk_batch_tail=quirk_batch_tail)
         if batch_overlap > 0:
             tn_overlap_tail = tn_batch[-batch_overlap:]
         batch_start += cur_len
@@ -224,7 +231,7 @@ def read_and_segment_video(video_path, crop_params: dict,
 def _process_batch(tn_context, sal_batch, cur_len, batch_start,
                    batch_overlap, frame_count, skip, transnet_fn,
                    saliency_fn, trans_probs, true_inds, map2orig,
-                   smaps_parts):
+                   smaps_parts, quirk_batch_tail: bool = False):
     """Shot-detect + sample + saliency for one read batch (device-resident).
 
     ``tn_context``: device (overlap + cur_len + 75, 27, 48, 3) — previous
@@ -246,7 +253,13 @@ def _process_batch(tn_context, sal_batch, cur_len, batch_start,
     map2orig.extend(m2o)
     if selected:
         sel_frames = sal_batch[jnp.asarray(np.array(selected))]
-        smaps_parts.append(saliency_fn(sel_frames))
+        sm = saliency_fn(sel_frames)
+        if quirk_batch_tail:
+            # Reference off-by-one: smaps[:, :, si:ei] from frames[:process_
+            # ind] leaves the batch's final selected map zero (:409-421).
+            sm = np.asarray(sm).copy()
+            sm[-1] = 0
+        smaps_parts.append(sm)
     sc_register_time(t, '_read_sal_det')
 
 
@@ -352,10 +365,11 @@ def read_video_structure(video_path, crop_params: dict,
     :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner` /
     :func:`group_clips`: ``sal_frames`` is the whole resized frame volume
     (numpy uint8) so the sharded SPMD program can run gather + saliency +
-    geometry on device.  Videos longer than ``read_batch`` frames fall back
-    to the sequential path (the reference's 2000-frame batch stitching,
-    ``smartVidCrop.py:248-374``, is a streaming construct; DHF1K clips are
-    ~450 frames).
+    geometry on device.  Clips up to ``read_batch`` frames go through one
+    whole-buffer shot-detection dispatch; longer clips stream through the
+    same ``read_batch``/``int(fps-5)``-overlap batch stitching as the
+    sequential ingest (the reference's streaming construct,
+    ``smartVidCrop.py:248-374``), still deferring saliency.
     """
     from retargetvid_tpu.io.native_reader import open_reader
     from retargetvid_tpu.io.video import probe_video
@@ -373,12 +387,37 @@ def read_video_structure(video_path, crop_params: dict,
     reader.stop()
     raw = jnp.concatenate(raw_parts) if len(raw_parts) > 1 else raw_parts[0]
     fc = int(raw.shape[0])
-    if fc > crop_params['read_batch']:
-        raise ValueError(f'{video_path}: {fc} frames exceeds read_batch; '
-                         'use the sequential ingest')
 
     from retargetvid_tpu.models.transnet import IngestShotProgram
-    if isinstance(transnet_fn, IngestShotProgram):
+    read_batch = crop_params['read_batch']
+    if fc > read_batch:
+        # Streaming shot detection: the sequential ingest's overlap-stitched
+        # read batches (zero-padded first overlap, 75-frame zero tail per
+        # batch), saliency-resolution frames kept whole for the SPMD phase.
+        batch_overlap = int(fr - 5)
+        tn_all, sal_frames = kernel(raw)
+        if isinstance(transnet_fn, IngestShotProgram):
+            from retargetvid_tpu.models.transnet import TransNetPredictor
+            probs_fn = TransNetPredictor(
+                transnet_fn.model, transnet_fn.params,
+                window=transnet_fn.window, stride=transnet_fn.stride,
+                keep=transnet_fn.keep)
+        else:
+            probs_fn = transnet_fn
+        probs_parts = []
+        tail = jnp.zeros((batch_overlap,) + tuple(tn_all.shape[1:]),
+                         tn_all.dtype) if batch_overlap > 0 else None
+        zero_tail = jnp.zeros((75,) + tuple(tn_all.shape[1:]), tn_all.dtype)
+        for start in range(0, fc, read_batch):
+            batch = tn_all[start:start + read_batch]
+            pieces = ([tail] if batch_overlap > 0 else []) + [batch, zero_tail]
+            context = jnp.concatenate(pieces)
+            p = np.asarray(probs_fn(context))
+            probs_parts.append(p[batch_overlap:batch_overlap + len(batch)])
+            if batch_overlap > 0:
+                tail = batch[-batch_overlap:]
+        probs = np.concatenate(probs_parts)
+    elif isinstance(transnet_fn, IngestShotProgram):
         sal_frames, probs = transnet_fn(raw)
     else:
         tn, sal_frames = kernel(raw)
