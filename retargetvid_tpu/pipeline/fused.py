@@ -37,7 +37,8 @@ def make_clip_fn(model, *, source: str, dtype,
                  t_border: int, cfg: GeometryConfig,
                  in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                  t_out: int, fps: float, h_orig: int, w_orig: int,
-                 w_final: int, h_final: int):
+                 w_final: int, h_final: int,
+                 pallas_postprocess: bool = False):
     """The per-clip program body: sampled frames -> boxes + diagnostics.
 
     Pure (traceable) function of the clip's device arrays, reused by the
@@ -53,11 +54,26 @@ def make_clip_fn(model, *, source: str, dtype,
         x = preprocess_frames(sel, net_hw).astype(dtype)
         logp, _ = model.apply(variables, x[:, None], target_size=in_hw,
                               source=source, static=True)
-        p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
-        mx = jnp.max(p, axis=(1, 2), keepdims=True)
-        smaps = jnp.where(mx > 0, p / mx, p) * 255.0
-        smaps = smaps.astype(jnp.uint8).astype(jnp.float32)
+        if pallas_postprocess:
+            # Hand-written VMEM kernel for the exp/max-normalize/uint8 tail
+            # (A/B-measured against the XLA-fused inline version below —
+            # docs/PERF.md "Pallas assessment").
+            from retargetvid_tpu.ops.pallas_kernels import saliency_postprocess
+            smaps = saliency_postprocess(
+                logp[:, 0, :, :, 0].astype(jnp.float32)).astype(jnp.float32)
+        else:
+            p = jnp.exp(logp[:, 0, :, :, 0].astype(jnp.float32))
+            mx = jnp.max(p, axis=(1, 2), keepdims=True)
+            smaps = jnp.where(mx > 0, p / mx, p) * 255.0
+            smaps = smaps.astype(jnp.uint8).astype(jnp.float32)
         smaps = jnp.where(sel_mask[:, None, None], smaps, 0.0)
+        if cfg.quirk_batch_tail:
+            # Reference ingest off-by-one: last selected frame's map stays
+            # zero (smartVidCrop.py:409-421); keeps this path's outputs
+            # identical to the sequential ingest's.
+            t_idx = jnp.arange(smaps.shape[0])
+            smaps = jnp.where((t_idx == fc_sel - 1)[:, None, None],
+                              0.0, smaps)
 
         borders = border_detection(smaps, t_border, h_orig, w_orig)
         mean_sal, _ = mean_saliency(smaps)
@@ -114,11 +130,13 @@ class FusedClipProgram:
 
     def __init__(self, variables=None, model: Optional[UNISAL] = None,
                  source: str = 'SALICON', dtype=jnp.bfloat16,
-                 rng_seed: int = 0, t_border: int = -1):
+                 rng_seed: int = 0, t_border: int = -1,
+                 pallas_postprocess: bool = False):
         self.model = model or UNISAL()
         self.source = source
         self.dtype = dtype
         self.t_border = t_border
+        self.pallas_postprocess = pallas_postprocess
         if variables is None:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
@@ -134,7 +152,8 @@ class FusedClipProgram:
             self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
             t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
-            w_final=w_final, h_final=h_final)
+            w_final=w_final, h_final=h_final,
+            pallas_postprocess=self.pallas_postprocess)
         # Parameters enter as a jit argument: closed-over device arrays would
         # lower as MLIR constants, round-tripping the weights through the
         # host on every compile (tens of seconds on the tunneled link).

@@ -92,10 +92,31 @@ class GeometryConfig:
     shift_time: int = 0
     bridge: int = 1
     cc_iters: int = 12
+    #: HDBSCAN mutual-reachability emulation (ops.clustering
+    #: _adaptive_link_mask); None = fixed ``bridge`` dilation.
+    adaptive_min_samples: int | None = None
+    adaptive_max_radius: int = 4
+    #: Replicate the reference ingest's off-by-one (last selected frame's
+    #: saliency map stays zero).  Consumed by paths that COMPUTE saliency
+    #: inside the program (pipeline.fused.make_clip_fn); the sequential
+    #: ingest applies it host-side before geometry ever runs.
+    quirk_batch_tail: bool = True
 
     @classmethod
     def from_crop_params(cls, cp: dict) -> "GeometryConfig":
+        # Default OFF: the fixed 1-px bridge measured BEST against the
+        # HDBSCAN oracle across every linking scheme tried (fixed bridge
+        # 1/2, single-scale density gating, per-pixel core-radius disks) —
+        # all plateau at ~2.7 px mean center distance on adversarial
+        # speckle, *within the oracle's own instability* (a 1-px input
+        # translation moves the oracle's center by mean 3.6 px; see
+        # tools/hdbscan_stability.py and docs/PARITY.md).
+        adaptive = None
+        if cp.get('tpu_adaptive_link', False) and cp['clust_filt']:
+            adaptive = cp.get('hdbscan_min_samples') or cp['hdbscan_min']
         return cls(
+            adaptive_min_samples=adaptive,
+            quirk_batch_tail=not cp.get('tpu_fix_batch_tail', False),
             t_threshold=cp['t_threshold'],
             clust_filt=cp['clust_filt'],
             hdbscan_min=cp['hdbscan_min'],
@@ -155,7 +176,9 @@ def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
         min_cluster_size=cfg.hdbscan_min,
         select_sum=cfg.select_sum,
         bridge=cfg.bridge,
-        cc_iters=cfg.cc_iters)
+        cc_iters=cfg.cc_iters,
+        adaptive_min_samples=cfg.adaptive_min_samples,
+        adaptive_max_radius=cfg.adaptive_max_radius)
     min_points = cfg.hdbscan_min + 1
     method = RESIZE_TYPE_TO_METHOD.get(cfg.resize_type, 'linear')
 
@@ -237,7 +260,9 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
         filt = functools.partial(
             _filter_one, min_cluster_size=cfg.hdbscan_min,
             select_sum=cfg.select_sum, bridge=cfg.bridge,
-            cc_iters=cfg.cc_iters)
+            cc_iters=cfg.cc_iters,
+            adaptive_min_samples=cfg.adaptive_min_samples,
+            adaptive_max_radius=cfg.adaptive_max_radius)
         filtered, any_valid, n_points = jax.vmap(filt)(work)
         if cfg.op_close:
             closed = morph_close(filtered, 5)

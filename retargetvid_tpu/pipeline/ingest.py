@@ -19,9 +19,12 @@ Returns the ``vid_data`` dict (reference contract: ``smaps``,
 (T, H, W) layout plus ``layout='thw'``.
 
 The reference's per-batch off-by-one (the last selected frame of each read
-batch never receives its saliency map, SURVEY.md §3.3) is deliberately FIXED
-here; the repair path (empty-center fill) still exists for genuinely empty
-maps.
+batch never receives its saliency map, SURVEY.md §3.3) is REPLICATED by
+default for exact parity with the published ``results/smartvidcrop`` boxes
+(measured: 0.9984 vs 0.9918 mean box IoU against the reference orchestrator,
+``tools/parity_full.py``); set ``crop_params['tpu_fix_batch_tail']=True`` to
+use the real final-frame saliency instead.  The repair path (empty-center
+fill) also still covers genuinely empty maps.
 """
 
 from __future__ import annotations
@@ -106,18 +109,26 @@ def read_and_segment_video(video_path, crop_params: dict,
                            transnet_fn: Callable,
                            saliency_fn: Callable,
                            verbose: bool = False,
-                           quirk_batch_tail: bool = False) -> dict:
+                           quirk_batch_tail: Optional[bool] = None) -> dict:
     """Decode + shot detect + sample + saliency, streaming chunks to device.
 
     ``transnet_fn``: (N, 27, 48, 3) uint8 -> (N,) probs (whole-buffer window
     inference, e.g. ``models.transnet.predict_video_windows`` partial).
     ``saliency_fn``: (T, SAL_H, SAL_W, 3) uint8 -> (T, SAL_H, SAL_W) uint8.
 
-    ``quirk_batch_tail=True`` replicates the reference's per-read-batch
-    off-by-one (the last selected frame of each batch never receives its
-    saliency map — ``smartVidCrop.py:409-421``, SURVEY.md §3.3) so parity
-    harnesses can isolate that deliberate fix; production keeps it False.
+    ``quirk_batch_tail`` replicates the reference's per-read-batch
+    off-by-one: the last selected frame of each batch never receives its
+    saliency map (``smartVidCrop.py:409-421``, SURVEY.md §3.3) and flows
+    through the empty-center repair.  DEFAULT ON (None -> not
+    ``crop_params['tpu_fix_batch_tail']``): the published
+    ``results/smartvidcrop`` boxes include this behavior, and the
+    full-orchestrator harness (``tools/parity_full.py``) measures
+    replicate=0.9984 vs fix=0.9918 mean box IoU against the reference —
+    set ``tpu_fix_batch_tail=True`` to use the real final-frame saliency
+    instead (documented improvement, costs exact-parity).
     """
+    if quirk_batch_tail is None:
+        quirk_batch_tail = not crop_params.get('tpu_fix_batch_tail', False)
     from retargetvid_tpu.io.native_reader import open_reader
     from retargetvid_tpu.io.video import probe_video
 
@@ -317,6 +328,11 @@ def ingest_pickle(pkl_path, crop_params: dict,
     selected, true_inds, map2orig = sample_frames(
         n, probs, skip, n, start=0, prev_true_inds=None)
     smaps = np.asarray(saliency_fn(sal_frames[np.array(selected)]))
+    if not crop_params.get('tpu_fix_batch_tail', False) and len(smaps):
+        # Reference off-by-one, same as read_and_segment_video
+        # (``smartVidCrop.py:696-709``): last selected map stays zero.
+        smaps = smaps.copy()
+        smaps[-1] = 0
 
     segmentation = predictions_to_scenes(probs, threshold=TRANS_THRESHOLD)
     segmentation = fix_scene_bounds(segmentation, n)
