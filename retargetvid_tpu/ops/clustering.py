@@ -109,17 +109,57 @@ def connected_components(mask, n_iters: int = 12):
     return jax.lax.fori_loop(0, n_iters, body, labels)
 
 
+def _adaptive_link_mask(mask, min_samples: int, max_radius: int):
+    """Density-adaptive dilation emulating HDBSCAN's mutual-reachability
+    linking (``smartVidCrop.py:1062-1161, 2340-2348``).
+
+    HDBSCAN (min_samples=k) joins points whose distance is within their
+    core distances — isolated-but-near points chain across gaps a fixed
+    1-px bridge cannot.  Emulation: each nonzero pixel's "core radius" is
+    the smallest Chebyshev radius containing >= ``min_samples`` other
+    nonzero pixels (box-count convolutions, r = 1..max_radius; counts are
+    density, exactly HDBSCAN's quantity); the pixel is then dilated by
+    half that radius, so two pixels link when their distance is within
+    roughly the mean of their core radii.  Dense blob interiors get
+    radius 1 (behaves like the fixed bridge); sparse speckle fields get
+    larger radii and chain like the oracle.
+    """
+    m = mask.astype(jnp.float32)
+    core = jnp.full(mask.shape, max_radius + 1, jnp.int32)
+    for r in range(max_radius, 0, -1):
+        k = 2 * r + 1
+        cnt = jax.lax.reduce_window(m, 0.0, jax.lax.add, (k, k), (1, 1),
+                                    [(r, r), (r, r)]) - m
+        core = jnp.where(cnt >= min_samples, r, core)
+    rho = (core + 1) // 2                       # dilation radius per pixel
+    out = jnp.zeros_like(mask)
+    for radius in range(0, (max_radius + 1 + 1) // 2 + 1):
+        sel = mask & (rho == radius)
+        if radius == 0:
+            out = out | sel
+        else:
+            out = out | (morph_dilate(sel.astype(jnp.float32),
+                                      2 * radius + 1) > 0.5)
+    return out
+
+
 def _filter_one(smap, *, min_cluster_size: int, select_sum: int,
-                bridge: int, cc_iters: int):
+                bridge: int, cc_iters: int,
+                adaptive_min_samples: Optional[int] = None,
+                adaptive_max_radius: int = 4):
     """Cluster-filter a single (H, W) float32 saliency map (factor-resized)."""
     h, w = smap.shape
     n_px = h * w
     mask = smap > 0
 
-    link_mask = mask
-    if bridge > 0:
+    if adaptive_min_samples is not None:
+        link_mask = _adaptive_link_mask(mask, adaptive_min_samples,
+                                        adaptive_max_radius)
+    elif bridge > 0:
         link_mask = morph_dilate(mask.astype(jnp.float32),
                                  2 * bridge + 1) > 0.5
+    else:
+        link_mask = mask
     labels = connected_components(link_mask, n_iters=cc_iters)
     labels = jnp.where(mask, labels, n_px)          # only true pixels count
     flat_labels = labels.reshape(-1)
@@ -183,7 +223,9 @@ def clustering_filter(smaps,
                       op_close: bool = True,
                       bridge: int = 1,
                       cc_iters: int = 12,
-                      min_points: Optional[int] = None):
+                      min_points: Optional[int] = None,
+                      adaptive_min_samples: Optional[int] = None,
+                      adaptive_max_radius: int = 4):
     """Apply the clustering filter to a (T, H, W) saliency volume.
 
     Reference behavior map (``smartVidCrop.py:1062-1161``):
@@ -195,6 +237,9 @@ def clustering_filter(smaps,
     - ``select_sum == 1`` keeps the cluster with the largest saliency sum,
       otherwise the cluster containing the largest single value.
     - ``op_close``: 5x5 morphological close of the surviving blob.
+    - ``adaptive_min_samples``: density-adaptive linking emulating HDBSCAN's
+      mutual reachability (see :func:`_adaptive_link_mask`); when None, a
+      fixed ``bridge``-px dilation links near-adjacent pixels.
 
     Returns float32 (T, H, W).
     """
@@ -212,7 +257,9 @@ def clustering_filter(smaps,
 
     filt = functools.partial(
         _filter_one, min_cluster_size=min_cluster_size,
-        select_sum=select_sum, bridge=bridge, cc_iters=cc_iters)
+        select_sum=select_sum, bridge=bridge, cc_iters=cc_iters,
+        adaptive_min_samples=adaptive_min_samples,
+        adaptive_max_radius=adaptive_max_radius)
     filtered, any_valid, n_points = jax.vmap(filt)(work)
 
     if op_close:
