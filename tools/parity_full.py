@@ -312,7 +312,6 @@ def run_reference(ref, video_path, cp):
 
 def run_ours(video_path, cp, quirk_batch_tail):
     from retargetvid_tpu.pipeline.crop import smart_vid_crop
-    from retargetvid_tpu.pipeline.ingest import read_and_segment_video
     from retargetvid_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -322,10 +321,10 @@ def run_ours(video_path, cp, quirk_batch_tail):
     def saliency_fn(frames):
         return mock_saliency_maps(np.asarray(frames))
 
-    vd = read_and_segment_video(video_path, dict(cp), transnet_fn,
-                                saliency_fn,
-                                quirk_batch_tail=quirk_batch_tail)
-    return smart_vid_crop(video_path, dict(cp), vid_data=vd, save_vid=False)
+    cp = dict(cp)
+    cp['tpu_fix_batch_tail'] = not quirk_batch_tail
+    return smart_vid_crop(video_path, cp, save_vid=False,
+                          transnet_fn=transnet_fn, saliency_fn=saliency_fn)
 
 
 def iou(a, b):
@@ -408,9 +407,10 @@ def format_report(rows) -> str:
         'deterministic mock models shared by both pipelines.',
         '',
         '`mode=quirk` replicates the reference\'s per-batch saliency',
-        'off-by-one on our side (orchestrator-equivalence check);',
-        '`mode=fixed` is the production default (off-by-one deliberately',
-        'fixed) and prices that divergence.',
+        'off-by-one (the PRODUCTION DEFAULT — the published',
+        '`results/smartvidcrop` boxes include it); `mode=fixed` is the',
+        'opt-in `tpu_fix_batch_tail=True` improvement (real final-frame',
+        'saliency) and prices that divergence.',
         '',
         '| case | preset | ratio | mode | box IoU mean | box IoU min '
         '| txt equal | true_inds eq | seg eq | info eq |',
@@ -470,11 +470,12 @@ def main(argv=None):
     if args.report:
         report = format_report(rows)
         path = args.report
+        marker = '## Full-orchestrator parity'
         if os.path.isfile(path):
             with open(path) as fp:
                 old = fp.read()
-            head = old.split('\n## Full-orchestrator parity')[0].rstrip()
-            content = head + '\n\n' + report
+            head = old.split(marker)[0].rstrip()
+            content = (head + '\n\n' + report) if head else report
         else:
             content = report
         with open(path, 'w') as fp:
