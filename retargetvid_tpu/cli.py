@@ -95,7 +95,7 @@ def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
     from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
     from retargetvid_tpu.ops.boxes import calc_dest_size
     from retargetvid_tpu.parallel.mesh import make_mesh
-    from retargetvid_tpu.parallel.runner import ShardedClipRunner, group_clips
+    from retargetvid_tpu.parallel.runner import ShardedClipRunner
     from retargetvid_tpu.pipeline.ingest import read_video_structure
 
     n_dev = min(args.mesh, len(jax.devices()))
@@ -127,38 +127,114 @@ def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
         variables = load_unisal_variables(UNISAL(), sd)
     runner = ShardedClipRunner(mesh, variables=variables)
 
-    # Phase 1: ingest every video once (saliency deferred to the SPMD phase).
-    clips = []
-    for i, vid_path in enumerate(vid_paths):
-        print(f' ingest ({i + 1}/{len(vid_paths)}): {vid_path}')
-        clip = read_video_structure(vid_path, crop_params, transnet_fn)
-        clip['vid_fn'] = Path(vid_path).stem
-        clips.append(clip)
+    # Pipelined ingest/compute: worker threads decode + shot-detect the next
+    # clips while the mesh runs the SPMD program of already-full groups (the
+    # round-2 version ingested all 200 videos serially with the mesh idle).
+    # In-flight clips are bounded (each holds its whole saliency-resolution
+    # frame volume, ~45 MB for a DHF1K clip).
+    import time as _time
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from retargetvid_tpu.parallel.runner import clip_signature
 
     ars = args.ratios.split(',')
-    for ar in ars:
-        cp = dict(crop_params)
-        cp['out_ratio'] = ar
-        # Group key: everything static in the compiled program.
-        by_meta: dict = {}
-        for c in clips:
-            by_meta.setdefault(
-                (c['fps'], c['h_orig'], c['w_orig']), []).append(c)
-        for (fps, h_orig, w_orig), metas in by_meta.items():
+    dp = mesh.shape['dp']
+
+    def ingest_one(vid_path):
+        t0 = _time.perf_counter()
+        clip = read_video_structure(vid_path, crop_params, transnet_fn)
+        clip['vid_fn'] = Path(vid_path).stem
+        clip['t_ingest'] = _time.perf_counter() - t0
+        print(f" ingested: {clip['vid_fn']} ({clip['fc']} frames, "
+              f"{clip['t_ingest']:.2f}s)")
+        return clip
+
+    def run_group(batch, n_real):
+        c0 = batch[0]
+        fps, h_orig, w_orig = c0['fps'], c0['h_orig'], c0['w_orig']
+        for ar in ars:
+            cp = dict(crop_params)
+            cp['out_ratio'] = ar
             dest = calc_dest_size(w_orig, h_orig, ar)
-            for batch, n_real in group_clips(metas, mesh.shape['dp']):
-                results = runner.run_batch(
-                    batch, cp, fps=fps, h_orig=h_orig, w_orig=w_orig,
-                    w_final=dest['w_final'], h_final=dest['h_final'])
-                for c, res in list(zip(batch, results))[:n_real]:
-                    suffix = f"{c['vid_fn']}_{ar.replace(':', '-')}"
-                    write_boxes_file(results_out / f'{suffix}.txt',
-                                     np.asarray(res['boxes'], int))
-                    with open(results_out / f'{suffix}_info.txt', 'w') as fp:
-                        fp.write(f'result:smart cropped (sharded dp='
-                                 f'{mesh.shape["dp"]})\n')
-                    print(f' {suffix}: {len(res["boxes"])} boxes')
-                    _eval_inline(annots, c['vid_fn'], ar, res['boxes'])
+            t0 = _time.perf_counter()
+            results = runner.run_batch(
+                batch, cp, fps=fps, h_orig=h_orig, w_orig=w_orig,
+                w_final=dest['w_final'], h_final=dest['h_final'])
+            t_spmd_per_clip = (_time.perf_counter() - t0) / max(n_real, 1)
+            for c, res in list(zip(batch, results))[:n_real]:
+                suffix = f"{c['vid_fn']}_{ar.replace(':', '-')}"
+                boxes = np.asarray(res['boxes'], int)
+                write_boxes_file(results_out / f'{suffix}.txt', boxes)
+                info = _sharded_info(cp, c, dest, boxes,
+                                     t_spmd_per_clip, dp)
+                with open(results_out / f'{suffix}_info.txt', 'w') as fp:
+                    for k, v in info.items():
+                        fp.write(f'{k}:{v}\n')
+                print(f' {suffix}: {len(res["boxes"])} boxes')
+                _eval_inline(annots, c['vid_fn'], ar, res['boxes'])
+
+    pending: dict = {}
+    futures: deque = deque()
+    paths_iter = iter(vid_paths)
+    max_inflight = max(2, dp + 2)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+
+        def topup():
+            while len(futures) < max_inflight:
+                try:
+                    p = next(paths_iter)
+                except StopIteration:
+                    return
+                futures.append(ex.submit(ingest_one, p))
+
+        topup()
+        while futures:
+            clip = futures.popleft().result()
+            topup()
+            key = (clip['fps'], clip['h_orig'], clip['w_orig'],
+                   clip_signature(clip))
+            pending.setdefault(key, []).append(clip)
+            if len(pending[key]) == dp:
+                run_group(pending.pop(key), dp)
+    # Tail: partial groups, padded by repeating the last clip.
+    for rest in pending.values():
+        n_real = len(rest)
+        while len(rest) < dp:
+            rest.append(rest[-1])
+        run_group(rest, n_real)
+
+
+def _sharded_info(cp, clip, dest, boxes, t_spmd, dp) -> dict:
+    """Full reference-contract results dict for one sharded-benchmark clip
+    (the sequential path's ``smart_vid_crop`` results keys,
+    ``smartVidCrop.py:2581-2610``): dims pipeline string, params dump,
+    pad-gate scores, ``cuts_clust`` (always 0 in the reference —
+    ``smartVidCrop.py:2352,2374``) and ``<sec>s, <percent>%`` stage timings
+    the reference's ``retargetvid_eval.py:196-222`` parses.  The SPMD batch
+    wall time is apportioned evenly over the batch's real clips; the whole
+    device phase is reported under ``_clustering`` (one fused program — same
+    convention as the sequential path)."""
+    sal_shape = clip['sal_frames'].shape
+    fbb_w = int(boxes[0][2] - boxes[0][0]) if len(boxes) else dest['w_final']
+    fbb_h = int(boxes[0][3] - boxes[0][1]) if len(boxes) else dest['h_final']
+    vid_dur = clip['fc'] / clip['fps'] if clip['fps'] else 1.0
+    fmt = lambda v: '%7.3fs, %6.3f%%' % (v, v / vid_dur * 100.0)
+    info = {
+        'result': f'smart cropped (sharded dp={dp})',
+        'info': ' (%dx%d)->(%dx%d)->(%dx%d)->(%dx%d)\n' % (
+            clip['h_orig'], clip['w_orig'], sal_shape[1], sal_shape[2],
+            dest['h_final'], dest['w_final'], fbb_h, fbb_w),
+        'params': ''.join(' %-18s : %s\n' % (k, str(v))
+                          for k, v in cp.items()),
+        'mean_sal_score': None, 'mean_sal_score_t': cp['t_sal'],
+        'coverage_score': None, 'coverage_score_t': cp['t_cvrg'],
+        'cuts_clust': 0,
+        't__read': fmt(clip.get('t_ingest', 0.0)),
+        't__clustering': fmt(t_spmd),
+        't_total': fmt(clip.get('t_ingest', 0.0) + t_spmd),
+    }
+    return info
 
 
 def cmd_benchmark(args):

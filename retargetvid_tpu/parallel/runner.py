@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from retargetvid_tpu.models.unisal import UNISAL
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
-__all__ = ["ShardedSaliency", "ShardedClipRunner", "group_clips"]
+__all__ = ["ShardedSaliency", "ShardedClipRunner", "group_clips",
+           "clip_signature"]
 
 
 class ShardedClipRunner:
@@ -216,22 +217,26 @@ class ShardedSaliency:
         return out
 
 
+def clip_signature(c) -> tuple:
+    """Everything that shapes the compiled SPMD program for one clip:
+    (H, W, frame-count bucket, selected bucket, fc bucket, segment bucket).
+    Clips sharing a signature can ride one batch without recompilation."""
+    from retargetvid_tpu.pipeline.geometry import bucket_size, seg_bucket_size
+
+    t_all, h, w = c['sal_frames'].shape[:3]
+    return (h, w, bucket_size(int(t_all)),
+            bucket_size(len(c['selected'])), bucket_size(int(c['fc'])),
+            seg_bucket_size(len(c['segmentation'])))
+
+
 def group_clips(clips, dp: int):
     """Schedule clips into dp-sized batches of one bucket signature each.
 
-    The signature is everything that shapes the compiled SPMD program:
-    (H, W, frame-count bucket, selected bucket, fc bucket, segment bucket).
     Batches are filled in arrival order per signature; a final partial batch
     is padded by repeating its last clip (the repeats' outputs are dropped).
     Returns a list of (batch_clips, n_real) tuples.
     """
-    from retargetvid_tpu.pipeline.geometry import bucket_size, seg_bucket_size
-
-    def sig(c):
-        t_all, h, w = c['sal_frames'].shape[:3]
-        return (h, w, bucket_size(int(t_all)),
-                bucket_size(len(c['selected'])), bucket_size(int(c['fc'])),
-                seg_bucket_size(len(c['segmentation'])))
+    sig = clip_signature
 
     pools: dict = {}
     order: list = []

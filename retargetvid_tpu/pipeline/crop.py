@@ -153,7 +153,13 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
 
     if not do_pad:
         # The fused on-device chain: threshold -> clustering -> centers ->
-        # fill -> focus -> interpolate -> smooth -> boxes.
+        # fill -> focus -> interpolate -> smooth -> boxes.  Its wall time is
+        # registered under the reference's ``_clustering`` key (the dominant
+        # stage of that chain, ``smartVidCrop.py:2375``) so the reference's
+        # own ``retargetvid_eval.py:253-257`` aggregates our info files into
+        # real tcm/tca columns instead of -1 placeholders; there is no
+        # separate host-side threshold/center/smooth stage to time in this
+        # architecture (one device program).
         t = time.perf_counter()
         geo = run_geometry(
             smaps, vd['true_inds'], vd['segmentation'],
@@ -161,7 +167,7 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
             fps=vd['fr'], h_orig=vd['h_orig'], w_orig=vd['w_orig'],
             w_final=vd['w_final'], h_final=vd['h_final'], fc=vd['fc'],
             borders=borders, fetch_maps=bool(demo_fn))
-        sc_register_time(t, '_geometry')
+        sc_register_time(t, '_clustering')
         vd['bbs'] = geo['boxes'].tolist()
         vd['fbb_w'] = int(geo['fbb_w'])
         vd['fbb_h'] = int(geo['fbb_h'])
@@ -228,6 +234,12 @@ def smart_vid_crop(video_path, CP: Optional[dict] = None,
     results['mean_sal_score_t'] = CP['t_sal']
     results['coverage_score'] = vd['mean_cvrg_score']
     results['coverage_score_t'] = CP['t_cvrg']
+    # Exact reference parity: the reference's ``total_clust_cuts`` list is
+    # initialized empty and never appended to, so its reported
+    # ``cuts_clust`` is len([]) == 0 for every video
+    # (``smartVidCrop.py:2352, 2374``); ``cuts_extra`` is never emitted at
+    # all, so the reference evaluator's ecm/eca columns are -1 even for the
+    # reference's own runs (``retargetvid_eval.py:266-270``).
     results['cuts_clust'] = 0
 
     t_dict = sc_all_times(vd['fc'] / vd['fr'] if vd['fr'] else 1.0)

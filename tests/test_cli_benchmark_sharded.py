@@ -70,3 +70,35 @@ def test_sharded_benchmark_matches_sequential(tmp_path):
         # Same weights, same ops; allow <=1px for batched-vs-chunked fp noise.
         assert np.abs(seq - shard).max() <= 1, vid
         assert (np.abs(seq - shard) > 0).mean() < 0.05, vid
+
+
+def test_read_video_structure_streams_long_clips(tmp_path):
+    """Clips longer than read_batch stream through overlap-stitched shot
+    batches (reference smartVidCrop.py:248-374) instead of raising, and the
+    streamed structure equals the whole-buffer one (VERDICT r2 item #5)."""
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.pipeline.ingest import read_video_structure
+
+    path = tmp_path / 'long.mp4'
+    _write_clip(path, 170)
+
+    def mock_tn(frames):
+        f = np.asarray(frames).astype(np.float32)
+        probs = np.zeros(len(f), np.float32)
+        if len(f) > 1:
+            d = np.abs(f[1:] - f[:-1]).mean(axis=(1, 2, 3))
+            live = f[:-1].max(axis=(1, 2, 3)) > 2
+            probs[1:] = np.where((d > 20) & live, 0.9, 0.0)
+        return probs
+
+    whole = read_video_structure(str(path), sc_init_crop_params(), mock_tn)
+    cp_small = sc_init_crop_params()
+    cp_small['read_batch'] = 48
+    streamed = read_video_structure(str(path), cp_small, mock_tn)
+
+    assert whole['fc'] == streamed['fc'] == 170
+    assert list(whole['true_inds']) == list(streamed['true_inds'])
+    assert np.array_equal(np.asarray(whole['segmentation']),
+                          np.asarray(streamed['segmentation']))
+    assert whole['sal_frames'].shape == streamed['sal_frames'].shape
+    assert np.array_equal(whole['sal_frames'], streamed['sal_frames'])
