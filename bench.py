@@ -81,7 +81,11 @@ def main():
     tn_params = tn_model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
     tn_predict = TransNetPredictor(tn_model, tn_params)
-    clip_program = FusedClipProgram(dtype=jnp.bfloat16)
+    # BENCH_PALLAS_PP=1 swaps the saliency postprocess tail for the Pallas
+    # VMEM kernel (A/B datapoint recorded in docs/PERF.md).
+    clip_program = FusedClipProgram(
+        dtype=jnp.bfloat16,
+        pallas_postprocess=bool(os.environ.get('BENCH_PALLAS_PP')))
 
     dest = calc_dest_size(w, h, cp['out_ratio'])
 
@@ -93,11 +97,15 @@ def main():
     synth_probs[n_frames // 2] = 1.0
 
     # Frames land in HBM once, outside the timed region (see module doc).
-    # Several distinct clips: the dev relay memoizes byte-identical
-    # dispatches, so timed iterations must vary their inputs.
+    # The dev relay memoizes byte-identical dispatches, so (a) every timed
+    # iteration uses a DISTINCT clip buffer and (b) the warmup clip (seed
+    # 100) is never timed — a timed dispatch byte-identical to the warmup
+    # would be served from the memo and deflate the measurement.
+    n_timed = int(os.environ.get('BENCH_ITERS', '4'))
+    warm_dev = jax.device_put(jnp.asarray(make_clip(n_frames, h, w, seed=100)))
     clips_dev = [jax.device_put(jnp.asarray(make_clip(n_frames, h, w, seed=s)))
-                 for s in range(3)]
-    for c in clips_dev:
+                 for s in range(n_timed)]
+    for c in clips_dev + [warm_dev]:
         c.block_until_ready()
 
     def run_once(frames_dev):
@@ -122,15 +130,15 @@ def main():
                                h_final=dest['h_final'], fc=n_frames)
         return geo['boxes']
 
-    # Warmup (compilation) + timed runs.
-    boxes = run_once(clips_dev[0])
+    # Warmup (compilation) on the dedicated warmup clip only.
+    boxes = run_once(warm_dev)
     assert boxes.shape == (n_frames, 4)
     if os.environ.get('BENCH_VERBOSE'):
         import cProfile
         import pstats
         prof = cProfile.Profile()
         prof.enable()
-        run_once(clips_dev[1])
+        run_once(warm_dev)
         prof.disable()
         pstats.Stats(prof).sort_stats('cumulative').print_stats(25)
     if os.environ.get('BENCH_TRACE_DIR'):
@@ -138,15 +146,20 @@ def main():
         # or xprof) — the TPU-native counterpart of the reference's
         # stage-keyed wall-clock registry (SURVEY.md §5.1).
         with jax.profiler.trace(os.environ['BENCH_TRACE_DIR']):
-            run_once(clips_dev[1])
+            run_once(warm_dev)
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        boxes = run_once(clips_dev[i % len(clips_dev)])
-    dt = (time.perf_counter() - t0) / n_iters
+    # Timed: each iteration is a fresh clip never dispatched before; the
+    # headline is the MEDIAN over iterations (docs/PERF.md methodology).
+    times = []
+    for c in clips_dev:
+        t0 = time.perf_counter()
+        run_once(c)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     fps_pipeline = n_frames / dt
+    if os.environ.get('BENCH_VERBOSE'):
+        print('per-iteration seconds:', [round(t, 4) for t in times])
     print(json.dumps({
         'metric': 'end-to-end crop pipeline throughput (640x360 video frames/sec, single chip)',
         'value': round(fps_pipeline, 2),
