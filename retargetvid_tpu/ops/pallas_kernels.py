@@ -24,11 +24,16 @@ __all__ = ["saliency_postprocess"]
 
 
 def _postprocess_kernel(logp_ref, out_ref):
-    """One frame block: p = exp(x); out = u8(p / max(p) * 255)."""
+    """One frame block: p = exp(x); out = floor(p / max(p) * 255).
+
+    The uint8 QUANTIZATION happens here as a floor (uint8 casting of
+    non-negative floats truncates); the dtype cast itself is outside the
+    kernel — Mosaic has no float32->uint8 cast lowering on this backend.
+    """
     p = jnp.exp(logp_ref[:].astype(jnp.float32))
     mx = jnp.max(p)
     scale = jnp.where(mx > 0, 255.0 / mx, 0.0)
-    out_ref[:] = (p * scale).astype(jnp.uint8)
+    out_ref[:] = jnp.floor(p * scale)
 
 
 def saliency_postprocess(logp, use_pallas: bool = True,
@@ -43,7 +48,7 @@ def saliency_postprocess(logp, use_pallas: bool = True,
 
     from jax.experimental.pallas import tpu as pltpu
 
-    return pl.pallas_call(
+    quant = pl.pallas_call(
         _postprocess_kernel,
         grid=(t,),
         in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
@@ -52,6 +57,7 @@ def saliency_postprocess(logp, use_pallas: bool = True,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.ANY if interpret
                                else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.float32),
         interpret=interpret,
     )(logp)
+    return quant.astype(jnp.uint8)

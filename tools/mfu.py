@@ -113,12 +113,13 @@ def build_targets():
 
     # --- UNISAL static forward: 96 selected frames (the 480-frame bench
     # clip's bucket), 140x250 maps, bf16 — as inside FusedClipProgram.
-    model = UNISAL(dtype=jnp.bfloat16)
+    model = UNISAL()
     x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, static=True)
 
     def unisal_fwd(frames):
-        x = preprocess_frames(frames, (256, 416))
+        # bf16 activations, exactly like FusedClipProgram's default path.
+        x = preprocess_frames(frames, (256, 416)).astype(jnp.bfloat16)
         logp, _ = model.apply(variables, x[:, None],
                               target_size=(140, 250), source='SALICON',
                               static=True)
