@@ -7,6 +7,12 @@ chain (threshold/cluster/centers/fill/interpolate/smooth/boxes).  Video
 decode is excluded (no video assets in this environment); weights are random
 (throughput is weight-independent).
 
+Default path: the ONE-dispatch whole-clip program (``pipeline.oneshot`` —
+sampling and scene extraction run on device as scans, removing two host
+round trips and the probs fetch per clip; equivalence vs the 2-dispatch
+path is exact, ``tests/test_oneshot.py``).  ``BENCH_ONESHOT=0`` times the
+2-dispatch path instead.
+
 Baseline: the reference reports t = exec_time/duration = 19% at 1:3 with the
 ICIP settings on the authors' GPU PC (reference README.md:59; BASELINE.md).
 At DHF1K's 30 fps that is an effective 30/0.19 ~= 157.9 video-frames/sec.
@@ -108,27 +114,44 @@ def main():
     for c in clips_dev + [warm_dev]:
         c.block_until_ready()
 
-    def run_once(frames_dev):
-        # Ingest resizes then shot detection as TWO programs: measured
-        # faster than the fused IngestShotProgram (~15 ms/clip) because the
-        # small resize program overlaps with host-side work while the conv
-        # windows of the previous dispatch drain.
-        tn_frames, sal_frames = resize_kernel(frames_dev)
-        _probs_timed = tn_predict(tn_frames)
-        probs = synth_probs
-        # Frame sampling (host, trivial).
-        selected, true_inds, map2orig = sample_frames(
-            n_frames, probs, cp['skip'], n_frames)
-        # Scenes.
-        seg = fix_scene_bounds(
-            predictions_to_scenes(probs, TRANS_THRESHOLD), n_frames)
-        seg_sel = scenes_to_selected(seg, map2orig)
-        # Gather + saliency + geometry: ONE fused program, one dispatch.
-        geo = clip_program.run(sal_frames, selected, true_inds, seg, seg_sel,
-                               cp, fps=fps, h_orig=h, w_orig=w,
-                               w_final=dest['w_final'],
-                               h_final=dest['h_final'], fc=n_frames)
-        return geo['boxes']
+    if os.environ.get('BENCH_ONESHOT', '1') != '0':
+        # ONE dispatch per clip: resizes + TransNet windows + on-device
+        # sampling/scene scans + saliency + geometry (pipeline.oneshot).
+        # The final TransNet layer is biased so the random weights do not
+        # fire a "cut" on every frame (which would overflow the one-shot
+        # static pick bound and select all 480 frames); the conv FLOPs are
+        # unchanged and the selected-frame load matches the 2-dispatch run.
+        from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+        tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+        oneshot = OneShotClipProgram(tn_model, tn_params, dtype=jnp.bfloat16)
+
+        def run_once(frames_dev):
+            out = oneshot.run(frames_dev, cp, fps=fps,
+                              w_final=dest['w_final'],
+                              h_final=dest['h_final'])
+            return out['boxes']
+    else:
+        def run_once(frames_dev):
+            # Ingest resizes then shot detection as TWO programs: measured
+            # faster than the fused IngestShotProgram (~15 ms/clip) because
+            # the small resize program overlaps with host-side work while
+            # the conv windows of the previous dispatch drain.
+            tn_frames, sal_frames = resize_kernel(frames_dev)
+            _probs_timed = tn_predict(tn_frames)
+            probs = synth_probs
+            # Frame sampling (host, trivial).
+            selected, true_inds, map2orig = sample_frames(
+                n_frames, probs, cp['skip'], n_frames)
+            # Scenes.
+            seg = fix_scene_bounds(
+                predictions_to_scenes(probs, TRANS_THRESHOLD), n_frames)
+            seg_sel = scenes_to_selected(seg, map2orig)
+            # Gather + saliency + geometry: ONE fused program, one dispatch.
+            geo = clip_program.run(sal_frames, selected, true_inds, seg,
+                                   seg_sel, cp, fps=fps, h_orig=h, w_orig=w,
+                                   w_final=dest['w_final'],
+                                   h_final=dest['h_final'], fc=n_frames)
+            return geo['boxes']
 
     # Warmup (compilation) on the dedicated warmup clip only.
     boxes = run_once(warm_dev)

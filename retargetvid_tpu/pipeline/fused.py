@@ -107,8 +107,11 @@ def pack_clip_outputs(out: dict):
     spec = {}
     parts = []
     off = 0
-    for k in ('boxes', 'dx', 'dy', 'dxs', 'dys', 'dxi', 'dyi', 'jumps',
-              'mean_sal', 'fbb_w', 'fbb_h'):
+    canonical = ('boxes', 'dx', 'dy', 'dxs', 'dys', 'dxi', 'dyi', 'jumps',
+                 'mean_sal', 'fbb_w', 'fbb_h')
+    keys = [k for k in canonical if k in out] + \
+        [k for k in out if k not in canonical]
+    for k in keys:
         v = jnp.asarray(out[k], jnp.float32).reshape(-1)
         spec[k] = (off, tuple(np.shape(out[k])))
         parts.append(v)

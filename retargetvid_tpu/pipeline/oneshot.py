@@ -1,0 +1,245 @@
+"""Whole-clip pipeline in ONE dispatch: raw frames -> crop boxes.
+
+The 2-dispatch benchmark path (resize+TransNet program, host sampling, then
+the fused saliency+geometry program) pays two device round trips plus a
+probs fetch per clip — ~50 ms of a ~170 ms clip on the dev relay, and a
+host sync point on any hardware.  This module moves the two host stages in
+between on device:
+
+- **Frame sampling** (reference ``smartVidCrop.py:379-399``): the
+  sequential selection rule (every ``skip`` frames from the LAST selected,
+  plus the frame after each shot cut, the first and the final frame) is a
+  ``lax.scan`` over frames carrying the last-selected index.
+- **Scene extraction** (reference ``predictions_to_scenes`` +
+  boundary fix, ``smartVidCrop.py:214-230, 459-464``): after the boundary
+  fix the segmentation is exactly the partition of [0, fc) at scene
+  starts; a start is any below-threshold frame at position 0 or preceded
+  by an above-threshold frame — one masked ``nonzero``.
+
+Everything else reuses the existing building blocks: the TransNet window
+plan (``models.transnet``), the ingest resizes (``ops.resize``) and the
+fused saliency+geometry body (``pipeline.fused.make_clip_fn``).
+
+Static padding bounds (compile-time): ``t_sel_pad`` covers
+``fc // skip + 2`` regular picks plus one forced pick per cut (bounded by
+``s_pad`` segments); a clip with more shots than ``s_pad`` must fall back
+to the 2-dispatch path (``n_segments`` is returned so callers can check —
+DHF1K clips have 1-3 shots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retargetvid_tpu.models.unisal import UNISAL
+from retargetvid_tpu.pipeline.fused import (
+    make_clip_fn,
+    pack_clip_outputs,
+    unpack_clip_outputs,
+)
+from retargetvid_tpu.pipeline.geometry import GeometryConfig, bucket_size
+from retargetvid_tpu.pipeline.ingest import TRANS_THRESHOLD
+from retargetvid_tpu.pipeline.saliency import get_optimal_out_size
+
+__all__ = ["OneShotClipProgram", "sample_frames_device",
+           "scene_bounds_device"]
+
+
+def sample_frames_device(probs, skip: int, fc: int, t_sel_pad: int,
+                         threshold: float = TRANS_THRESHOLD):
+    """The reference's sequential frame-selection rule as a ``lax.scan``.
+
+    Returns (sel_mask (fc,), sel_idx (t_sel_pad,), fc_sel, ti (t_sel_pad,)):
+    ``sel_idx`` holds the selected frame indices (clamped repeats beyond
+    ``fc_sel``), ``ti`` the same but continued ASCENDING past the live
+    region (the interpolation gather contract of ``run_geometry``).
+    """
+    fidx = jnp.arange(fc)
+    after_cut = jnp.concatenate(
+        [jnp.zeros(1, bool), jnp.asarray(probs)[:fc - 1] > threshold])
+
+    def step(last, inp):
+        f, cut = inp
+        want = (f == last + skip) | cut | (f == fc - 1)
+        last = jnp.where(want, f, last)
+        return last, want
+
+    # init last = -skip so frame 0 satisfies f == last + skip (the
+    # reference's "no true_inds yet -> select" branch).
+    _, sel_mask = jax.lax.scan(step, jnp.int32(-skip),
+                               (fidx, after_cut))
+    fc_sel = jnp.sum(sel_mask).astype(jnp.int32)
+    sel_idx = jnp.nonzero(sel_mask, size=t_sel_pad,
+                          fill_value=fc - 1)[0].astype(jnp.int32)
+    k = jnp.arange(t_sel_pad)
+    last_ti = sel_idx[jnp.clip(fc_sel - 1, 0, t_sel_pad - 1)]
+    ti = jnp.where(k < fc_sel, sel_idx, last_ti + (k - fc_sel + 1))
+    return sel_mask, sel_idx, fc_sel, ti.astype(jnp.int32)
+
+
+def scene_bounds_device(probs, sel_mask, fc: int, s_pad: int,
+                        threshold: float = TRANS_THRESHOLD):
+    """Post-boundary-fix segmentation as padded start/end arrays.
+
+    Returns (seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+    n_segments), each (s_pad,) int32 — the contract of
+    ``geometry_pipeline``.  Scene starts are below-threshold frames at
+    position 0 or preceded by an above-threshold frame; the all-transition
+    fallback emits one full-length scene.
+    """
+    p = jnp.asarray(probs)[:fc] > threshold
+    prev_hi = jnp.concatenate([jnp.zeros(1, bool), p[:-1]])
+    is_start = (~p) & ((jnp.arange(fc) == 0) | prev_hi)
+    n = jnp.sum(is_start).astype(jnp.int32)
+    starts = jnp.nonzero(is_start, size=s_pad,
+                         fill_value=fc)[0].astype(jnp.int32)
+    # Fallback: no below-threshold frame at all -> one [0, fc-1] scene.
+    starts = jnp.where(n == 0, jnp.where(jnp.arange(s_pad) == 0, 0, fc),
+                       starts)
+    n = jnp.maximum(n, 1)
+    k = jnp.arange(s_pad)
+    next_start = jnp.concatenate([starts[1:], jnp.full(1, fc, jnp.int32)])
+    ends = jnp.where(k == n - 1, fc - 1, next_start - 1)
+
+    # Selected-frame mapping: m2o[f] = cumsum(sel_mask) - 1.
+    m2o = (jnp.cumsum(sel_mask.astype(jnp.int32)) - 1)
+    safe = lambda idx: m2o[jnp.clip(idx, 0, fc - 1)]
+    return (starts, ends, safe(starts), safe(ends), n)
+
+
+class OneShotClipProgram:
+    """Raw decoded frames -> crop boxes, one compiled program, one dispatch.
+
+    Combines: device resizes (TransNet 27x48 + saliency max-dim-250) ->
+    TransNet window plan -> on-device sampling scan -> on-device scene
+    bounds -> UNISAL saliency on the selected frames -> the fused geometry
+    chain.  No host round trip between decode hand-off and the packed
+    outputs (boxes + probs + structure for the txt/_info.txt contracts).
+    """
+
+    def __init__(self, tn_model, tn_params, variables=None,
+                 model: Optional[UNISAL] = None, source: str = 'SALICON',
+                 dtype=jnp.bfloat16, rng_seed: int = 0, t_border: int = -1,
+                 s_pad: int = 8, window: int = 100, stride: int = 50,
+                 keep: tuple = (25, 75)):
+        self.tn_model = tn_model
+        self.tn_params = tn_params
+        self.model = model or UNISAL()
+        self.source = source
+        self.dtype = dtype
+        self.t_border = t_border
+        self.s_pad = s_pad
+        self.window = window
+        self.stride = stride
+        self.keep = keep
+        if variables is None:
+            x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
+                                        static=True)
+        self.variables = variables
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, fc: int, hw: Tuple[int, int],
+                  sal_hw: Tuple[int, int], cfg: GeometryConfig,
+                  fps: float, w_final: int, h_final: int, skip: int):
+        from retargetvid_tpu.models.transnet import INPUT_HEIGHT, INPUT_WIDTH
+        from retargetvid_tpu.ops.resize import resize, round_half_up
+
+        h_orig, w_orig = hw
+        sal_h, sal_w = sal_hw
+        t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
+        t_out = bucket_size(fc)
+        s_pad = self.s_pad
+        net_hw = get_optimal_out_size((sal_h, sal_w))
+        window, stride, keep = self.window, self.stride, self.keep
+        m = window // stride
+        kk = -(-(fc + window - stride + keep[0]) // stride)
+        length = kk * stride
+        n_w = kk - m + 1
+        tn_model = self.tn_model
+
+        clip_fn = make_clip_fn(
+            self.model, source=self.source, dtype=self.dtype,
+            t_border=self.t_border, cfg=cfg, in_hw=(sal_h, sal_w),
+            net_hw=net_hw, t_out=t_out, fps=fps, h_orig=h_orig,
+            w_orig=w_orig, w_final=w_final, h_final=h_final)
+
+        spec_holder = {}
+
+        def fn(variables, tn_params, raw):
+            to_u8 = lambda v: jnp.clip(round_half_up(v), 0,
+                                       255).astype(jnp.uint8)
+            tn = to_u8(resize(raw, (INPUT_HEIGHT, INPUT_WIDTH), 'linear'))
+            sal = to_u8(resize(raw, (sal_h, sal_w), 'linear'))
+
+            # TransNet window plan (edge padding via clamped row gather).
+            src = jnp.clip(jnp.arange(length) - keep[0], 0, fc - 1)
+            blocks = tn[src].reshape(kk, stride, INPUT_HEIGHT,
+                                     INPUT_WIDTH, 3)
+            windows = jnp.concatenate(
+                [blocks[off:off + n_w] for off in range(m)], axis=1)
+            probs = tn_model.apply(tn_params, windows)
+            probs = probs[:, keep[0]:keep[1]].reshape(-1)[:fc]
+
+            sel_mask_f, sel_idx, fc_sel, ti = sample_frames_device(
+                probs, skip, fc, t_sel_pad)
+            ss, se, sss, sse, n_seg = scene_bounds_device(
+                probs, sel_mask_f, fc, s_pad)
+
+            # Clamp against static-bound overflow (a clip with more forced
+            # picks than t_sel_pad allows); run() raises on the raw count
+            # so callers fall back to the 2-dispatch path.
+            fc_sel_c = jnp.minimum(fc_sel, jnp.int32(t_sel_pad))
+            sel_live = jnp.arange(t_sel_pad) < fc_sel_c
+            out = clip_fn(variables, sal, sel_idx, sel_live, fc_sel_c, ti,
+                          ss, se, sss, sse, n_seg, jnp.int32(fc))
+            out['probs'] = probs
+            out['fc_sel'] = fc_sel
+            out['n_segments'] = n_seg
+            out['seg_starts'] = ss
+            out['seg_ends'] = se
+            out['sel_idx'] = sel_idx
+            vec, spec = pack_clip_outputs(out)
+            spec_holder.update(spec)
+            return vec
+
+        zero_args = (
+            jax.tree_util.tree_map(
+                lambda v: jnp.zeros(np.shape(v), v.dtype), self.variables),
+            jax.tree_util.tree_map(
+                lambda v: jnp.zeros(np.shape(v), v.dtype), self.tn_params),
+            jnp.zeros((fc, h_orig, w_orig, 3), jnp.uint8))
+        jax.eval_shape(fn, *zero_args)
+        return jax.jit(fn), dict(spec_holder)
+
+    def run(self, raw_frames, crop_params: dict, *, fps: float,
+            w_final: int, h_final: int) -> dict:
+        """(fc, H, W, 3) uint8 device frames -> outputs dict (ONE fetch)."""
+        from retargetvid_tpu.pipeline.ingest import sal_dims
+
+        fc, h, w = (int(raw_frames.shape[0]), int(raw_frames.shape[1]),
+                    int(raw_frames.shape[2]))
+        sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
+        cfg = GeometryConfig.from_crop_params(crop_params)
+        fn, spec = self._compiled(fc, (h, w), (sal_h, sal_w), cfg,
+                                  float(fps), int(w_final), int(h_final),
+                                  int(crop_params['skip']))
+        vec = fn(self.variables, self.tn_params, raw_frames)
+        out = unpack_clip_outputs(np.asarray(vec), spec)
+        out['boxes'] = out['boxes'][:fc].astype(np.int32)
+        out['fc_sel'] = int(out['fc_sel'])
+        out['n_segments'] = int(out['n_segments'])
+        t_sel_pad = bucket_size(fc // int(crop_params['skip']) + 2 +
+                                self.s_pad)
+        if out['n_segments'] > self.s_pad or out['fc_sel'] > t_sel_pad:
+            raise ValueError(
+                f'clip exceeds one-shot static bounds '
+                f'({out["n_segments"]} shots > s_pad={self.s_pad} or '
+                f'{out["fc_sel"]} picks > t_sel_pad={t_sel_pad}); '
+                'use the 2-dispatch path')
+        return out

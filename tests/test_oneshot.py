@@ -1,0 +1,156 @@
+"""One-dispatch whole-clip program == the 2-dispatch path, exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
+
+def _random_probs(rng, n, p_hi=0.06):
+    return (rng.random(n) < p_hi).astype(np.float32) * 0.9
+
+
+def test_device_sampling_matches_host():
+    from retargetvid_tpu.pipeline.ingest import sample_frames
+    from retargetvid_tpu.pipeline.oneshot import sample_frames_device
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        fc = int(rng.integers(8, 300))
+        skip = int(rng.choice([1, 4, 6, 9]))
+        probs = _random_probs(rng, fc)
+        selected, true_inds, m2o = sample_frames(fc, probs, skip, fc)
+        t_sel_pad = len(true_inds) + 5
+        sel_mask, sel_idx, fc_sel, ti = jax.jit(
+            sample_frames_device, static_argnums=(1, 2, 3))(
+            jnp.asarray(probs), skip, fc, t_sel_pad)
+        assert int(fc_sel) == len(true_inds), (trial, fc, skip)
+        assert list(np.asarray(sel_idx)[:len(true_inds)]) == true_inds
+        assert list(np.nonzero(np.asarray(sel_mask))[0]) == true_inds
+        # ascending continuation beyond the live region
+        tail = np.asarray(ti)[len(true_inds):]
+        assert np.all(np.diff(np.asarray(ti)) >= 1)
+        assert len(tail) == 0 or tail[0] == true_inds[-1] + 1
+
+
+def test_device_scenes_match_host():
+    from retargetvid_tpu.ops.scenes import (
+        fix_scene_bounds,
+        predictions_to_scenes,
+        scenes_to_selected,
+    )
+    from retargetvid_tpu.pipeline.ingest import sample_frames
+    from retargetvid_tpu.pipeline.oneshot import (
+        sample_frames_device,
+        scene_bounds_device,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [_random_probs(rng, int(rng.integers(10, 260)))
+             for _ in range(16)]
+    cases.append(np.zeros(40, np.float32))          # single scene
+    cases.append(np.full(40, 0.9, np.float32))      # all-transition fallback
+    first_hi = np.zeros(60, np.float32)
+    first_hi[0] = 0.9                               # prob[0] > t quirk
+    cases.append(first_hi)
+
+    for probs in cases:
+        fc = len(probs)
+        seg = fix_scene_bounds(predictions_to_scenes(probs, 0.1), fc)
+        _, _, m2o = sample_frames(fc, probs, 6, fc)
+        seg_sel = scenes_to_selected(seg, m2o)
+
+        s_pad = len(seg) + 3
+        t_sel_pad = fc // 6 + fc // 8 + 10
+        sel_mask, _, _, _ = jax.jit(
+            sample_frames_device, static_argnums=(1, 2, 3))(
+            jnp.asarray(probs), 6, fc, t_sel_pad)
+        ss, se, sss, sse, n = jax.jit(
+            scene_bounds_device, static_argnums=(2, 3))(
+            jnp.asarray(probs), sel_mask, fc, s_pad)
+        n = int(n)
+        assert n == len(seg), probs[:8]
+        assert list(np.asarray(ss)[:n]) == [int(s[0]) for s in seg]
+        assert list(np.asarray(se)[:n]) == [int(s[1]) for s in seg]
+        assert list(np.asarray(sss)[:n]) == [int(s[0]) for s in seg_sel]
+        assert list(np.asarray(sse)[:n]) == [int(s[1]) for s in seg_sel]
+
+
+def test_oneshot_program_matches_two_dispatch():
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
+    from retargetvid_tpu.models.unisal import UNISAL
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.ops.scenes import (
+        fix_scene_bounds,
+        predictions_to_scenes,
+        scenes_to_selected,
+    )
+    from retargetvid_tpu.pipeline.fused import FusedClipProgram
+    from retargetvid_tpu.pipeline.ingest import (
+        TRANS_THRESHOLD,
+        _resize_kernel,
+        sal_dims,
+        sample_frames,
+    )
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    fc, h, w = 60, 90, 160
+    fps = 30.0
+    cp = sc_init_crop_params()
+    cp['out_ratio'] = '1:3'
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((fc, h, w, 3), np.uint8)
+    for t in range(fc):
+        cx = w * (0.2 + 0.6 * t / fc) if t < fc // 2 else w * 0.75
+        blob = 225 * np.exp(-(((yy - h * 0.5) ** 2 +
+                               (xx - cx) ** 2) / 250.0))
+        frames[t] = np.clip(blob[..., None] +
+                            (10 if t < fc // 2 else 60), 0,
+                            255).astype(np.uint8)
+    frames_dev = jnp.asarray(frames)
+    dest = calc_dest_size(w, h, cp['out_ratio'])
+
+    tn_model = TransNetV1(f=2, l=3, s=2, d=16)
+    tn_params = tn_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    # Random-weight TransNet fires a "transition" on every frame (the
+    # pathological all-selected case the one-shot static bounds reject);
+    # bias the final layer so probs ~ 0 and the sampling rule runs its
+    # realistic every-skip regime.
+    tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
+    tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+    un_model = UNISAL()
+    x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+    un_vars = un_model.init(jax.random.PRNGKey(1), x0, static=True)
+
+    # --- 2-dispatch path
+    sal_h, sal_w = sal_dims(w, h, cp['max_input_d'])
+    kernel = _resize_kernel(h, w, sal_h, sal_w)
+    tn, sal = kernel(frames_dev)
+    probs = np.asarray(TransNetPredictor(tn_model, tn_params)(tn))
+    selected, true_inds, m2o = sample_frames(fc, probs, cp['skip'], fc)
+    seg = fix_scene_bounds(predictions_to_scenes(probs, TRANS_THRESHOLD), fc)
+    seg_sel = scenes_to_selected(seg, m2o)
+    two = FusedClipProgram(variables=un_vars, model=un_model,
+                           dtype=jnp.float32).run(
+        sal, selected, true_inds, seg, seg_sel, cp, fps=fps,
+        h_orig=h, w_orig=w, w_final=dest['w_final'],
+        h_final=dest['h_final'], fc=fc)
+
+    # --- one-dispatch path
+    one = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
+                             model=un_model, dtype=jnp.float32).run(
+        frames_dev, cp, fps=fps, w_final=dest['w_final'],
+        h_final=dest['h_final'])
+
+    assert one['fc_sel'] == len(true_inds)
+    assert one['n_segments'] == len(seg)
+    np.testing.assert_allclose(one['probs'][:fc], probs, rtol=1e-5,
+                               atol=1e-5)
+    assert np.array_equal(one['boxes'], np.asarray(two['boxes'], np.int32))
