@@ -237,6 +237,120 @@ def _sharded_info(cp, clip, dest, boxes, t_spmd, dp) -> dict:
     return info
 
 
+def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
+    """Per-video one-dispatch fast path (``pipeline.oneshot``): decode the
+    whole clip, run resizes + shot windows + sampling + saliency + geometry
+    as ONE device program, fall back to the sequential ``smart_vid_crop``
+    when a clip exceeds the program's static pick/shot bounds."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from retargetvid_tpu.eval.annotations import write_boxes_file
+    from retargetvid_tpu.io.native_reader import open_reader
+    from retargetvid_tpu.io.video import probe_video
+    from retargetvid_tpu.models.transnet import TransNetV1
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    import jax
+    tn_model = TransNetV1()
+    if args.transnet_weights:
+        import pickle
+        with open(args.transnet_weights, 'rb') as fp:
+            tn_params = pickle.load(fp)
+    else:
+        tn_params = tn_model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+        print(' WARNING: no --transnet-weights; using random init')
+    variables = None
+    if args.unisal_weights:
+        import torch
+
+        from retargetvid_tpu.models.torch_import import load_unisal_variables
+        from retargetvid_tpu.models.unisal import UNISAL
+        sd = torch.load(args.unisal_weights, map_location='cpu')
+        if isinstance(sd, dict) and 'model_state_dict' in sd:
+            sd = sd['model_state_dict']
+        variables = load_unisal_variables(UNISAL(), sd)
+    program = OneShotClipProgram(tn_model, tn_params, variables=variables)
+
+    ars = args.ratios.split(',')
+    for ar in ars:
+        cp = dict(crop_params)
+        cp['out_ratio'] = ar
+        for i, vid_path in enumerate(vid_paths):
+            vid_fn = Path(vid_path).stem
+            suffix = f"{vid_fn}_{ar.replace(':', '-')}"
+            txt = results_out / f'{suffix}.txt'
+            info_path = results_out / f'{suffix}_info.txt'
+            if txt.is_file() and info_path.is_file() and \
+                    not args.replace_existing:
+                print(f' skipping {suffix}')
+                continue
+            print(f'\n video ({i + 1}/{len(vid_paths)}): {vid_path} [{ar}]')
+            meta = probe_video(vid_path)
+            fps, w, h = meta['fps'], meta['width'], meta['height']
+            dest = calc_dest_size(w, h, ar)
+            t0 = _time.perf_counter()
+            reader = open_reader(vid_path)
+            parts = [jnp.asarray(chunk) for chunk, _ in reader.chunks(256)]
+            reader.stop()
+            raw = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            t_read = _time.perf_counter() - t0
+            fc = int(raw.shape[0])
+            boxes = None
+            if fc <= cp['read_batch']:
+                t0 = _time.perf_counter()
+                try:
+                    out = program.run(raw, cp, fps=fps,
+                                      w_final=dest['w_final'],
+                                      h_final=dest['h_final'])
+                    boxes = out['boxes']
+                except ValueError as exc:
+                    print(f' oneshot fallback: {exc}')
+                t_dev = _time.perf_counter() - t0
+            if boxes is None:
+                # Streaming fallback: the sequential reference path.
+                from retargetvid_tpu.pipeline.crop import smart_vid_crop
+                transnet_fn, saliency_fn = _build_models(args)
+                vd, res = smart_vid_crop(vid_path, cp, save_vid=False,
+                                         transnet_fn=transnet_fn,
+                                         saliency_fn=saliency_fn)
+                boxes = np.asarray(vd['bbs'], int)
+                with open(info_path, 'w') as fp:
+                    for k, v in res.items():
+                        fp.write(f'{k}:{v}\n')
+            else:
+                from retargetvid_tpu.pipeline.ingest import sal_dims
+                sal_h, sal_w = sal_dims(w, h, cp['max_input_d'])
+                vid_dur = fc / fps if fps else 1.0
+                fmt = lambda v: '%7.3fs, %6.3f%%' % (v, v / vid_dur * 100.0)
+                fbb_w = int(boxes[0][2] - boxes[0][0]) if len(boxes) \
+                    else dest['w_final']
+                fbb_h = int(boxes[0][3] - boxes[0][1]) if len(boxes) \
+                    else dest['h_final']
+                info = {
+                    'result': 'smart cropped (oneshot)',
+                    'info': ' (%dx%d)->(%dx%d)->(%dx%d)->(%dx%d)\n' % (
+                        h, w, sal_h, sal_w, dest['h_final'],
+                        dest['w_final'], fbb_h, fbb_w),
+                    'params': ''.join(' %-18s : %s\n' % (k, str(v))
+                                      for k, v in cp.items()),
+                    'mean_sal_score': None, 'mean_sal_score_t': cp['t_sal'],
+                    'coverage_score': None, 'coverage_score_t': cp['t_cvrg'],
+                    'cuts_clust': 0,
+                    't__read': fmt(t_read),
+                    't__clustering': fmt(t_dev),
+                    't_total': fmt(t_read + t_dev),
+                }
+                with open(info_path, 'w') as fp:
+                    for k, v in info.items():
+                        fp.write(f'{k}:{v}\n')
+            write_boxes_file(txt, np.asarray(boxes, int))
+            _eval_inline(annots, vid_fn, ar, boxes)
+
+
 def cmd_benchmark(args):
     from retargetvid_tpu.eval.annotations import load_annotations, write_boxes_file
     from retargetvid_tpu.pipeline.crop import smart_vid_crop
@@ -258,6 +372,9 @@ def cmd_benchmark(args):
 
     if getattr(args, 'mesh', 0):
         return cmd_benchmark_sharded(args, vid_paths, results_out, annots,
+                                     crop_params)
+    if getattr(args, 'oneshot', False):
+        return cmd_benchmark_oneshot(args, vid_paths, results_out, annots,
                                      crop_params)
 
     transnet_fn, saliency_fn = _build_models(args)
@@ -513,6 +630,10 @@ def main(argv=None):
     b.add_argument('--annotations-extract', default=None)
     b.add_argument('--replace-existing', action='store_true')
     b.add_argument('--save-vid', action='store_true')
+    b.add_argument('--oneshot', action='store_true',
+                   help='one-dispatch whole-clip program per video '
+                        '(pipeline.oneshot; falls back to the streaming '
+                        'path when a clip exceeds its static bounds)')
     b.add_argument('--mesh', type=int, default=0,
                    help='shard clips over an N-device dp mesh '
                         '(0 = sequential single-chip loop)')

@@ -102,3 +102,32 @@ def test_read_video_structure_streams_long_clips(tmp_path):
                           np.asarray(streamed['segmentation']))
     assert whole['sal_frames'].shape == streamed['sal_frames'].shape
     assert np.array_equal(whole['sal_frames'], streamed['sal_frames'])
+
+
+def test_oneshot_benchmark_matches_sequential(tmp_path):
+    """`benchmark --oneshot` (one device program per clip) produces the same
+    boxes as the sequential path within 1 px."""
+    vids = tmp_path / 'vids'
+    vids.mkdir()
+    _write_clip(vids / '001.mp4', 30, phase=0.0)
+    _write_clip(vids / '002.mp4', 31, phase=0.4)
+
+    from retargetvid_tpu.cli import main
+    from retargetvid_tpu.eval.annotations import read_boxes_file
+
+    seq_dir = tmp_path / 'seq'
+    main(['benchmark', '--videos', str(vids), '--out', str(seq_dir),
+          '--test-name', 'run', '--ratios', '1:3', '--chunk', '8',
+          '--replace-existing'])
+    one_dir = tmp_path / 'one'
+    main(['benchmark', '--videos', str(vids), '--out', str(one_dir),
+          '--test-name', 'run', '--ratios', '1:3', '--oneshot',
+          '--replace-existing'])
+
+    for vid in ('001', '002'):
+        seq = read_boxes_file(seq_dir / 'run' / f'{vid}_1-3.txt')
+        one = read_boxes_file(one_dir / 'run' / f'{vid}_1-3.txt')
+        assert seq.shape == one.shape, vid
+        assert np.abs(seq - one).max() <= 1, vid
+        info = (one_dir / 'run' / f'{vid}_1-3_info.txt').read_text()
+        assert 't__clustering:' in info and 't_total:' in info
