@@ -51,21 +51,25 @@ __all__ = ["OneShotClipProgram", "sample_frames_device",
 
 
 def sample_frames_device(probs, skip: int, fc: int, t_sel_pad: int,
-                         threshold: float = TRANS_THRESHOLD):
+                         threshold: float = TRANS_THRESHOLD, n=None):
     """The reference's sequential frame-selection rule as a ``lax.scan``.
 
-    Returns (sel_mask (fc,), sel_idx (t_sel_pad,), fc_sel, ti (t_sel_pad,)):
-    ``sel_idx`` holds the selected frame indices (clamped repeats beyond
-    ``fc_sel``), ``ti`` the same but continued ASCENDING past the live
-    region (the interpolation gather contract of ``run_geometry``).
+    ``fc`` is the STATIC frame capacity; ``n`` (traced, default ``fc``) the
+    clip's live frame count — the batched SPMD variant pads clips to a
+    shared capacity.  Returns (sel_mask (fc,), sel_idx (t_sel_pad,),
+    fc_sel, ti (t_sel_pad,)): ``sel_idx`` holds the selected frame indices
+    (clamped repeats beyond ``fc_sel``), ``ti`` the same but continued
+    ASCENDING past the live region (the interpolation gather contract of
+    ``run_geometry``).
     """
+    n = jnp.int32(fc) if n is None else jnp.asarray(n, jnp.int32)
     fidx = jnp.arange(fc)
     after_cut = jnp.concatenate(
         [jnp.zeros(1, bool), jnp.asarray(probs)[:fc - 1] > threshold])
 
     def step(last, inp):
         f, cut = inp
-        want = (f == last + skip) | cut | (f == fc - 1)
+        want = ((f == last + skip) | cut | (f == n - 1)) & (f < n)
         last = jnp.where(want, f, last)
         return last, want
 
@@ -76,6 +80,7 @@ def sample_frames_device(probs, skip: int, fc: int, t_sel_pad: int,
     fc_sel = jnp.sum(sel_mask).astype(jnp.int32)
     sel_idx = jnp.nonzero(sel_mask, size=t_sel_pad,
                           fill_value=fc - 1)[0].astype(jnp.int32)
+    sel_idx = jnp.minimum(sel_idx, jnp.maximum(n - 1, 0))
     k = jnp.arange(t_sel_pad)
     last_ti = sel_idx[jnp.clip(fc_sel - 1, 0, t_sel_pad - 1)]
     ti = jnp.where(k < fc_sel, sel_idx, last_ti + (k - fc_sel + 1))
@@ -83,33 +88,102 @@ def sample_frames_device(probs, skip: int, fc: int, t_sel_pad: int,
 
 
 def scene_bounds_device(probs, sel_mask, fc: int, s_pad: int,
-                        threshold: float = TRANS_THRESHOLD):
+                        threshold: float = TRANS_THRESHOLD, n=None):
     """Post-boundary-fix segmentation as padded start/end arrays.
 
+    ``fc`` static capacity, ``n`` traced live count (default ``fc``).
     Returns (seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
     n_segments), each (s_pad,) int32 — the contract of
     ``geometry_pipeline``.  Scene starts are below-threshold frames at
     position 0 or preceded by an above-threshold frame; the all-transition
     fallback emits one full-length scene.
     """
-    p = jnp.asarray(probs)[:fc] > threshold
+    n_live = jnp.int32(fc) if n is None else jnp.asarray(n, jnp.int32)
+    live = jnp.arange(fc) < n_live
+    p = (jnp.asarray(probs)[:fc] > threshold) & live
     prev_hi = jnp.concatenate([jnp.zeros(1, bool), p[:-1]])
-    is_start = (~p) & ((jnp.arange(fc) == 0) | prev_hi)
-    n = jnp.sum(is_start).astype(jnp.int32)
+    is_start = (~p) & ((jnp.arange(fc) == 0) | prev_hi) & live
+    n_seg = jnp.sum(is_start).astype(jnp.int32)
     starts = jnp.nonzero(is_start, size=s_pad,
                          fill_value=fc)[0].astype(jnp.int32)
-    # Fallback: no below-threshold frame at all -> one [0, fc-1] scene.
-    starts = jnp.where(n == 0, jnp.where(jnp.arange(s_pad) == 0, 0, fc),
-                       starts)
-    n = jnp.maximum(n, 1)
+    # Fallback: no below-threshold frame at all -> one [0, n-1] scene.
+    starts = jnp.where(n_seg == 0,
+                       jnp.where(jnp.arange(s_pad) == 0, 0, fc), starts)
+    n_seg = jnp.maximum(n_seg, 1)
     k = jnp.arange(s_pad)
     next_start = jnp.concatenate([starts[1:], jnp.full(1, fc, jnp.int32)])
-    ends = jnp.where(k == n - 1, fc - 1, next_start - 1)
+    ends = jnp.where(k == n_seg - 1, n_live - 1, next_start - 1)
 
     # Selected-frame mapping: m2o[f] = cumsum(sel_mask) - 1.
     m2o = (jnp.cumsum(sel_mask.astype(jnp.int32)) - 1)
     safe = lambda idx: m2o[jnp.clip(idx, 0, fc - 1)]
-    return (starts, ends, safe(starts), safe(ends), n)
+    return (starts, ends, safe(starts), safe(ends), n_seg)
+
+
+def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
+                      cfg: GeometryConfig, fc: int, sal_hw, net_hw,
+                      t_out: int, t_sel_pad: int, s_pad: int, skip: int,
+                      fps: float, h_orig: int, w_orig: int, w_final: int,
+                      h_final: int, window: int = 100, stride: int = 50,
+                      keep: tuple = (25, 75)):
+    """Traceable whole-clip body: (variables, tn_params, raw, n) -> dict.
+
+    ``fc`` is the static frame capacity; ``n`` the clip's traced live
+    count (pad ``raw`` with zero frames up to ``fc``).  Shared by
+    :class:`OneShotClipProgram` (n == fc) and the dp-sharded batched
+    variant (``parallel.runner.ShardedOneShot``) which vmaps it.
+    """
+    from retargetvid_tpu.models.transnet import INPUT_HEIGHT, INPUT_WIDTH
+    from retargetvid_tpu.ops.resize import resize, round_half_up
+
+    sal_h, sal_w = sal_hw
+    m = window // stride
+    kk = -(-(fc + window - stride + keep[0]) // stride)
+    length = kk * stride
+    n_w = kk - m + 1
+
+    clip_fn = make_clip_fn(
+        model, source=source, dtype=dtype, t_border=t_border, cfg=cfg,
+        in_hw=(sal_h, sal_w), net_hw=net_hw, t_out=t_out, fps=fps,
+        h_orig=h_orig, w_orig=w_orig, w_final=w_final, h_final=h_final)
+
+    def body(variables, tn_params, raw, n):
+        n = jnp.asarray(n, jnp.int32)
+        to_u8 = lambda v: jnp.clip(round_half_up(v), 0,
+                                   255).astype(jnp.uint8)
+        tn = to_u8(resize(raw, (INPUT_HEIGHT, INPUT_WIDTH), 'linear'))
+        sal = to_u8(resize(raw, (sal_h, sal_w), 'linear'))
+
+        # TransNet window plan (edge padding via clamped row gather).
+        src = jnp.clip(jnp.arange(length) - keep[0], 0, n - 1)
+        blocks = tn[src].reshape(kk, stride, INPUT_HEIGHT, INPUT_WIDTH, 3)
+        windows = jnp.concatenate(
+            [blocks[off:off + n_w] for off in range(m)], axis=1)
+        probs = tn_model.apply(tn_params, windows)
+        probs = probs[:, keep[0]:keep[1]].reshape(-1)[:fc]
+        probs = jnp.where(jnp.arange(fc) < n, probs, 0.0)
+
+        sel_mask_f, sel_idx, fc_sel, ti = sample_frames_device(
+            probs, skip, fc, t_sel_pad, n=n)
+        ss, se, sss, sse, n_seg = scene_bounds_device(
+            probs, sel_mask_f, fc, s_pad, n=n)
+
+        # Clamp against static-bound overflow (a clip with more forced
+        # picks than t_sel_pad allows); callers check the raw count and
+        # fall back to the 2-dispatch path.
+        fc_sel_c = jnp.minimum(fc_sel, jnp.int32(t_sel_pad))
+        sel_live = jnp.arange(t_sel_pad) < fc_sel_c
+        out = clip_fn(variables, sal, sel_idx, sel_live, fc_sel_c, ti,
+                      ss, se, sss, sse, n_seg, n)
+        out['probs'] = probs
+        out['fc_sel'] = fc_sel
+        out['n_segments'] = n_seg
+        out['seg_starts'] = ss
+        out['seg_ends'] = se
+        out['sel_idx'] = sel_idx
+        return out
+
+    return body
 
 
 class OneShotClipProgram:
@@ -163,48 +237,19 @@ class OneShotClipProgram:
         n_w = kk - m + 1
         tn_model = self.tn_model
 
-        clip_fn = make_clip_fn(
-            self.model, source=self.source, dtype=self.dtype,
-            t_border=self.t_border, cfg=cfg, in_hw=(sal_h, sal_w),
-            net_hw=net_hw, t_out=t_out, fps=fps, h_orig=h_orig,
-            w_orig=w_orig, w_final=w_final, h_final=h_final)
+        body = make_oneshot_body(
+            self.model, tn_model, source=self.source, dtype=self.dtype,
+            t_border=self.t_border, cfg=cfg, fc=fc, sal_hw=(sal_h, sal_w),
+            net_hw=net_hw, t_out=t_out, t_sel_pad=t_sel_pad, s_pad=s_pad,
+            skip=skip, fps=fps, h_orig=h_orig, w_orig=w_orig,
+            w_final=w_final, h_final=h_final, window=window, stride=stride,
+            keep=keep)
 
         spec_holder = {}
 
         def fn(variables, tn_params, raw):
-            to_u8 = lambda v: jnp.clip(round_half_up(v), 0,
-                                       255).astype(jnp.uint8)
-            tn = to_u8(resize(raw, (INPUT_HEIGHT, INPUT_WIDTH), 'linear'))
-            sal = to_u8(resize(raw, (sal_h, sal_w), 'linear'))
-
-            # TransNet window plan (edge padding via clamped row gather).
-            src = jnp.clip(jnp.arange(length) - keep[0], 0, fc - 1)
-            blocks = tn[src].reshape(kk, stride, INPUT_HEIGHT,
-                                     INPUT_WIDTH, 3)
-            windows = jnp.concatenate(
-                [blocks[off:off + n_w] for off in range(m)], axis=1)
-            probs = tn_model.apply(tn_params, windows)
-            probs = probs[:, keep[0]:keep[1]].reshape(-1)[:fc]
-
-            sel_mask_f, sel_idx, fc_sel, ti = sample_frames_device(
-                probs, skip, fc, t_sel_pad)
-            ss, se, sss, sse, n_seg = scene_bounds_device(
-                probs, sel_mask_f, fc, s_pad)
-
-            # Clamp against static-bound overflow (a clip with more forced
-            # picks than t_sel_pad allows); run() raises on the raw count
-            # so callers fall back to the 2-dispatch path.
-            fc_sel_c = jnp.minimum(fc_sel, jnp.int32(t_sel_pad))
-            sel_live = jnp.arange(t_sel_pad) < fc_sel_c
-            out = clip_fn(variables, sal, sel_idx, sel_live, fc_sel_c, ti,
-                          ss, se, sss, sse, n_seg, jnp.int32(fc))
-            out['probs'] = probs
-            out['fc_sel'] = fc_sel
-            out['n_segments'] = n_seg
-            out['seg_starts'] = ss
-            out['seg_ends'] = se
-            out['sel_idx'] = sel_idx
-            vec, spec = pack_clip_outputs(out)
+            vec, spec = pack_clip_outputs(
+                body(variables, tn_params, raw, jnp.int32(fc)))
             spec_holder.update(spec)
             return vec
 
