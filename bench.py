@@ -108,13 +108,35 @@ def main():
     # 100) is never timed — a timed dispatch byte-identical to the warmup
     # would be served from the memo and deflate the measurement.
     n_timed = int(os.environ.get('BENCH_ITERS', '4'))
-    warm_dev = jax.device_put(jnp.asarray(make_clip(n_frames, h, w, seed=100)))
+    batch = int(os.environ.get('BENCH_BATCH', '1'))
+    n_pool = n_timed if batch == 1 else n_timed + batch - 1
+    warm_dev = [jax.device_put(jnp.asarray(make_clip(n_frames, h, w,
+                                                     seed=100 + i)))
+                for i in range(batch)]
     clips_dev = [jax.device_put(jnp.asarray(make_clip(n_frames, h, w, seed=s)))
-                 for s in range(n_timed)]
-    for c in clips_dev + [warm_dev]:
+                 for s in range(n_pool)]
+    for c in clips_dev + warm_dev:
         c.block_until_ready()
+    if batch == 1:
+        warm_dev = warm_dev[0]
 
-    if os.environ.get('BENCH_ONESHOT', '1') != '0':
+    if batch > 1:
+        # B clips per dispatch on the ONE chip: the vmapped whole-clip
+        # program (parallel.runner.ShardedOneShot on a 1-device mesh, so
+        # the clip axis lands whole on this chip).  Amortizes the
+        # per-dispatch overhead and widens the convs' batch dimension.
+        from retargetvid_tpu.parallel.mesh import make_mesh
+        from retargetvid_tpu.parallel.runner import ShardedOneShot
+        tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+        sharded = ShardedOneShot(make_mesh(1), tn_model, tn_params,
+                                 dtype=jnp.bfloat16)
+
+        def run_once(clips):
+            outs = sharded.run_batch(clips, cp, fps=fps,
+                                     w_final=dest['w_final'],
+                                     h_final=dest['h_final'])
+            return outs[0]['boxes']
+    elif os.environ.get('BENCH_ONESHOT', '1') != '0':
         # ONE dispatch per clip: resizes + TransNet windows + on-device
         # sampling/scene scans + saliency + geometry (pipeline.oneshot).
         # The final TransNet layer is biased so the random weights do not
@@ -171,16 +193,19 @@ def main():
         with jax.profiler.trace(os.environ['BENCH_TRACE_DIR']):
             run_once(warm_dev)
 
-    # Timed: each iteration is a fresh clip never dispatched before; the
-    # headline is the MEDIAN over iterations (docs/PERF.md methodology).
+    # Timed: each iteration is a fresh clip (batch mode: a fresh sliding
+    # window over the pool, so every stacked batch buffer differs) never
+    # dispatched before; the headline is the MEDIAN over iterations
+    # (docs/PERF.md methodology).
     times = []
-    for c in clips_dev:
+    for i in range(n_timed):
+        arg = clips_dev[i] if batch == 1 else clips_dev[i:i + batch]
         t0 = time.perf_counter()
-        run_once(c)
+        run_once(arg)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
-    fps_pipeline = n_frames / dt
+    fps_pipeline = n_frames * batch / dt
     if os.environ.get('BENCH_VERBOSE'):
         print('per-iteration seconds:', [round(t, 4) for t in times])
     print(json.dumps({

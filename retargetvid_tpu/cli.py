@@ -237,23 +237,14 @@ def _sharded_info(cp, clip, dest, boxes, t_spmd, dp) -> dict:
     return info
 
 
-def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
-    """Per-video one-dispatch fast path (``pipeline.oneshot``): decode the
-    whole clip, run resizes + shot windows + sampling + saliency + geometry
-    as ONE device program, fall back to the sequential ``smart_vid_crop``
-    when a clip exceeds the program's static pick/shot bounds."""
-    import time as _time
-
+def _load_oneshot_models(args):
+    """(tn_model, tn_params, unisal variables-or-None) for the one-shot
+    paths, from the CLI weight flags."""
+    import jax
     import jax.numpy as jnp
 
-    from retargetvid_tpu.eval.annotations import write_boxes_file
-    from retargetvid_tpu.io.native_reader import open_reader
-    from retargetvid_tpu.io.video import probe_video
     from retargetvid_tpu.models.transnet import TransNetV1
-    from retargetvid_tpu.ops.boxes import calc_dest_size
-    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
 
-    import jax
     tn_model = TransNetV1()
     if args.transnet_weights:
         import pickle
@@ -273,6 +264,52 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
         if isinstance(sd, dict) and 'model_state_dict' in sd:
             sd = sd['model_state_dict']
         variables = load_unisal_variables(UNISAL(), sd)
+    return tn_model, tn_params, variables
+
+
+def _oneshot_info(cp, *, result, h, w, sal_hw, dest, boxes, fc, fps,
+                  t_read, t_dev) -> dict:
+    """One-shot results dict under the reference contracts
+    (``smartVidCrop.py:2581-2610`` keys; timings in the
+    ``<sec>s, <percent>%`` form ``retargetvid_eval.py:196-222`` parses;
+    the whole device phase reported under ``_clustering`` — one fused
+    program, same convention as the sequential path)."""
+    vid_dur = fc / fps if fps else 1.0
+    fmt = lambda v: '%7.3fs, %6.3f%%' % (v, v / vid_dur * 100.0)
+    fbb_w = int(boxes[0][2] - boxes[0][0]) if len(boxes) else dest['w_final']
+    fbb_h = int(boxes[0][3] - boxes[0][1]) if len(boxes) else dest['h_final']
+    return {
+        'result': result,
+        'info': ' (%dx%d)->(%dx%d)->(%dx%d)->(%dx%d)\n' % (
+            h, w, sal_hw[0], sal_hw[1], dest['h_final'],
+            dest['w_final'], fbb_h, fbb_w),
+        'params': ''.join(' %-18s : %s\n' % (k, str(v))
+                          for k, v in cp.items()),
+        'mean_sal_score': None, 'mean_sal_score_t': cp['t_sal'],
+        'coverage_score': None, 'coverage_score_t': cp['t_cvrg'],
+        'cuts_clust': 0,
+        't__read': fmt(t_read),
+        't__clustering': fmt(t_dev),
+        't_total': fmt(t_read + t_dev),
+    }
+
+
+def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
+    """Per-video one-dispatch fast path (``pipeline.oneshot``): decode the
+    whole clip, run resizes + shot windows + sampling + saliency + geometry
+    as ONE device program, fall back to the sequential ``smart_vid_crop``
+    when a clip exceeds the program's static pick/shot bounds."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from retargetvid_tpu.eval.annotations import write_boxes_file
+    from retargetvid_tpu.io.native_reader import open_reader
+    from retargetvid_tpu.io.video import probe_video
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    tn_model, tn_params, variables = _load_oneshot_models(args)
     program = OneShotClipProgram(tn_model, tn_params, variables=variables)
 
     ars = args.ratios.split(',')
@@ -323,32 +360,162 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
                         fp.write(f'{k}:{v}\n')
             else:
                 from retargetvid_tpu.pipeline.ingest import sal_dims
-                sal_h, sal_w = sal_dims(w, h, cp['max_input_d'])
-                vid_dur = fc / fps if fps else 1.0
-                fmt = lambda v: '%7.3fs, %6.3f%%' % (v, v / vid_dur * 100.0)
-                fbb_w = int(boxes[0][2] - boxes[0][0]) if len(boxes) \
-                    else dest['w_final']
-                fbb_h = int(boxes[0][3] - boxes[0][1]) if len(boxes) \
-                    else dest['h_final']
-                info = {
-                    'result': 'smart cropped (oneshot)',
-                    'info': ' (%dx%d)->(%dx%d)->(%dx%d)->(%dx%d)\n' % (
-                        h, w, sal_h, sal_w, dest['h_final'],
-                        dest['w_final'], fbb_h, fbb_w),
-                    'params': ''.join(' %-18s : %s\n' % (k, str(v))
-                                      for k, v in cp.items()),
-                    'mean_sal_score': None, 'mean_sal_score_t': cp['t_sal'],
-                    'coverage_score': None, 'coverage_score_t': cp['t_cvrg'],
-                    'cuts_clust': 0,
-                    't__read': fmt(t_read),
-                    't__clustering': fmt(t_dev),
-                    't_total': fmt(t_read + t_dev),
-                }
+                info = _oneshot_info(
+                    cp, result='smart cropped (oneshot)', h=h, w=w,
+                    sal_hw=sal_dims(w, h, cp['max_input_d']), dest=dest,
+                    boxes=boxes, fc=fc, fps=fps, t_read=t_read,
+                    t_dev=t_dev)
                 with open(info_path, 'w') as fp:
                     for k, v in info.items():
                         fp.write(f'{k}:{v}\n')
             write_boxes_file(txt, np.asarray(boxes, int))
             _eval_inline(annots, vid_fn, ar, boxes)
+
+
+def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,
+                                  crop_params):
+    """``--mesh N --oneshot``: the whole-clip one-dispatch program with one
+    clip per dp shard (``parallel.runner.ShardedOneShot``) — D chips each
+    run a video's ENTIRE post-decode pipeline concurrently, zero hot-path
+    collectives.  Decode is pipelined: worker threads read the next videos
+    while the mesh runs already-full signature groups.  Clips that exceed
+    ``read_batch`` or the static pick/shot bounds fall back to the
+    sequential streaming path."""
+    import time as _time
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from retargetvid_tpu.eval.annotations import write_boxes_file
+    from retargetvid_tpu.io.native_reader import open_reader
+    from retargetvid_tpu.io.video import probe_video
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.parallel.mesh import make_mesh
+    from retargetvid_tpu.parallel.runner import ShardedOneShot, raw_clip_signature
+    from retargetvid_tpu.pipeline.ingest import sal_dims
+
+    n_dev = min(args.mesh, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    dp = mesh.shape['dp']
+    print(f' sharded one-shot benchmark over mesh {dict(mesh.shape)}')
+
+    tn_model, tn_params, variables = _load_oneshot_models(args)
+    runner = ShardedOneShot(mesh, tn_model, tn_params, variables=variables)
+    ars = args.ratios.split(',')
+
+    def read_one(vid_path):
+        t0 = _time.perf_counter()
+        meta = probe_video(vid_path)
+        reader = open_reader(vid_path)
+        parts = [chunk for chunk, _ in reader.chunks(256)]
+        reader.stop()
+        raw = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        return {'raw': raw, 'fps': meta['fps'], 'vid_fn': Path(vid_path).stem,
+                'path': vid_path, 't_read': _time.perf_counter() - t0}
+
+    fb_models: list = []
+
+    def fallback(item, cp, ar):
+        from retargetvid_tpu.pipeline.crop import smart_vid_crop
+        if not fb_models:
+            fb_models.append(_build_models(args))
+        transnet_fn, saliency_fn = fb_models[0]
+        vd, res = smart_vid_crop(item['path'], cp, save_vid=False,
+                                 transnet_fn=transnet_fn,
+                                 saliency_fn=saliency_fn)
+        return np.asarray(vd['bbs'], int), res
+
+    def emit(item, ar, cp, boxes, info):
+        suffix = f"{item['vid_fn']}_{ar.replace(':', '-')}"
+        write_boxes_file(results_out / f'{suffix}.txt',
+                         np.asarray(boxes, int))
+        with open(results_out / f'{suffix}_info.txt', 'w') as fp:
+            for k, v in info.items():
+                fp.write(f'{k}:{v}\n')
+        print(f' {suffix}: {len(boxes)} boxes')
+        _eval_inline(annots, item['vid_fn'], ar, boxes)
+
+    def run_group(batch, n_real):
+        it0 = batch[0]
+        h, w = it0['raw'].shape[1], it0['raw'].shape[2]
+        fps = it0['fps']
+        for ar in ars:
+            cp = dict(crop_params)
+            cp['out_ratio'] = ar
+            dest = calc_dest_size(w, h, ar)
+            t0 = _time.perf_counter()
+            results = runner.run_batch(
+                [it['raw'] for it in batch], cp, fps=fps,
+                w_final=dest['w_final'], h_final=dest['h_final'])
+            t_dev = (_time.perf_counter() - t0) / max(n_real, 1)
+            for item, res in list(zip(batch, results))[:n_real]:
+                if res['overrun']:
+                    print(f" oneshot overrun, streaming fallback: "
+                          f"{item['vid_fn']}")
+                    boxes, res_info = fallback(item, cp, ar)
+                    emit(item, ar, cp, boxes, res_info)
+                    continue
+                fc = item['raw'].shape[0]
+                info = _oneshot_info(
+                    cp, result=f'smart cropped (oneshot dp={dp})', h=h,
+                    w=w, sal_hw=sal_dims(w, h, cp['max_input_d']),
+                    dest=dest, boxes=res['boxes'], fc=fc, fps=fps,
+                    t_read=item['t_read'], t_dev=t_dev)
+                emit(item, ar, cp, res['boxes'], info)
+
+    def done_paths():
+        if args.replace_existing:
+            return set()
+        done = set()
+        for p in vid_paths:
+            stem = Path(p).stem
+            if all((results_out / f"{stem}_{ar.replace(':', '-')}.txt"
+                    ).is_file() and
+                   (results_out / f"{stem}_{ar.replace(':', '-')}_info.txt"
+                    ).is_file() for ar in ars):
+                print(f' skipping {stem}')
+                done.add(p)
+        return done
+
+    skip = done_paths()
+    todo = [p for p in vid_paths if p not in skip]
+    pending: dict = {}
+    futures: deque = deque()
+    paths_iter = iter(todo)
+    max_inflight = max(2, dp + 2)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+
+        def topup():
+            while len(futures) < max_inflight:
+                try:
+                    p = next(paths_iter)
+                except StopIteration:
+                    return
+                futures.append(ex.submit(read_one, p))
+
+        topup()
+        while futures:
+            item = futures.popleft().result()
+            topup()
+            if item['raw'].shape[0] > crop_params['read_batch']:
+                print(f" long clip ({item['raw'].shape[0]} frames), "
+                      f"streaming fallback: {item['vid_fn']}")
+                for ar in ars:
+                    cp = dict(crop_params)
+                    cp['out_ratio'] = ar
+                    boxes, res_info = fallback(item, cp, ar)
+                    emit(item, ar, cp, boxes, res_info)
+                continue
+            key = raw_clip_signature(item['raw'], item['fps'])
+            pending.setdefault(key, []).append(item)
+            if len(pending[key]) == dp:
+                run_group(pending.pop(key), dp)
+    for rest in pending.values():
+        n_real = len(rest)
+        while len(rest) < dp:
+            rest.append(rest[-1])
+        run_group(rest, n_real)
 
 
 def cmd_benchmark(args):
@@ -371,6 +538,10 @@ def cmd_benchmark(args):
     results_out.mkdir(parents=True, exist_ok=True)
 
     if getattr(args, 'mesh', 0):
+        if getattr(args, 'oneshot', False):
+            return cmd_benchmark_oneshot_sharded(args, vid_paths,
+                                                 results_out, annots,
+                                                 crop_params)
         return cmd_benchmark_sharded(args, vid_paths, results_out, annots,
                                      crop_params)
     if getattr(args, 'oneshot', False):

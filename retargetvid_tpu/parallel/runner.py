@@ -20,8 +20,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from retargetvid_tpu.models.unisal import UNISAL
 from retargetvid_tpu.pipeline.saliency import get_optimal_out_size, preprocess_frames
 
-__all__ = ["ShardedSaliency", "ShardedClipRunner", "group_clips",
-           "clip_signature"]
+__all__ = ["ShardedSaliency", "ShardedClipRunner", "ShardedOneShot",
+           "group_clips", "group_raw_clips", "clip_signature",
+           "raw_clip_signature"]
 
 
 class ShardedClipRunner:
@@ -155,6 +156,163 @@ class ShardedClipRunner:
                 'mean_sal': out['mean_sal'][i],
             })
         return results
+
+
+class ShardedOneShot:
+    """The whole-clip one-dispatch program, one clip per dp shard.
+
+    Extends :class:`retargetvid_tpu.pipeline.oneshot.OneShotClipProgram`
+    to the mesh: ``make_oneshot_body`` (decode hand-off -> resizes ->
+    TransNet windows -> on-device sampling/scenes -> saliency -> geometry)
+    is vmapped over a clip axis and jitted with the clip axis sharded over
+    ``dp`` — D chips each run one video's ENTIRE post-decode pipeline with
+    zero hot-path collectives (SURVEY.md §2.9/§5.8; the multi-chip analogue
+    of the reference's per-process video split).  Clips inside a batch pad
+    to a shared frame capacity; each clip's live count rides as data.
+    """
+
+    def __init__(self, mesh: Mesh, tn_model, tn_params, variables=None,
+                 model: Optional[UNISAL] = None, source: str = 'SALICON',
+                 dtype=jnp.bfloat16, rng_seed: int = 0, t_border: int = -1,
+                 s_pad: int = 8, window: int = 100, stride: int = 50,
+                 keep: tuple = (25, 75)):
+        self.mesh = mesh
+        self.tn_model = tn_model
+        self.model = model or UNISAL()
+        self.source = source
+        self.dtype = dtype
+        self.t_border = t_border
+        self.s_pad = s_pad
+        self.window = window
+        self.stride = stride
+        self.keep = keep
+        if variables is None:
+            x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
+                                        static=True)
+        rep = NamedSharding(mesh, P())
+        self.variables = jax.device_put(variables, rep)
+        self.tn_params = jax.device_put(tn_params, rep)
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled(self, fc_cap, hw, sal_hw, cfg, fps, w_final, h_final,
+                  skip):
+        from retargetvid_tpu.pipeline.fused import pack_clip_outputs
+        from retargetvid_tpu.pipeline.geometry import bucket_size
+        from retargetvid_tpu.pipeline.oneshot import make_oneshot_body
+
+        h_orig, w_orig = hw
+        t_sel_pad = bucket_size(fc_cap // skip + 2 + self.s_pad)
+        net_hw = get_optimal_out_size(sal_hw)
+        body = make_oneshot_body(
+            self.model, self.tn_model, source=self.source,
+            dtype=self.dtype, t_border=self.t_border, cfg=cfg, fc=fc_cap,
+            sal_hw=sal_hw, net_hw=net_hw, t_out=bucket_size(fc_cap),
+            t_sel_pad=t_sel_pad, s_pad=self.s_pad, skip=skip, fps=fps,
+            h_orig=h_orig, w_orig=w_orig, w_final=w_final, h_final=h_final,
+            window=self.window, stride=self.stride, keep=self.keep)
+
+        spec_holder = {}
+
+        def one(variables, tn_params, raw, n):
+            vec, spec = pack_clip_outputs(body(variables, tn_params, raw, n))
+            spec_holder.update(spec)
+            return vec
+
+        clip_sh = NamedSharding(self.mesh, P('dp'))
+        rep = NamedSharding(self.mesh, P())
+        fn = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)),
+                     in_shardings=(rep, rep, clip_sh, clip_sh),
+                     out_shardings=clip_sh)
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda v: jax.ShapeDtypeStruct(np.shape(v), v.dtype), tree)
+        d = self.mesh.shape['dp']
+        jax.eval_shape(fn, zeros(self.variables), zeros(self.tn_params),
+                       jax.ShapeDtypeStruct((d, fc_cap, h_orig, w_orig, 3),
+                                            jnp.uint8),
+                       jax.ShapeDtypeStruct((d,), jnp.int32))
+        return fn, dict(spec_holder), t_sel_pad
+
+    def run_batch(self, raws, crop_params: dict, *, fps: float,
+                  w_final: int, h_final: int) -> list:
+        """Run a dp-sized batch of raw clips sharing one signature.
+
+        ``raws``: list of (fc_i, H, W, 3) uint8 arrays (one per dp shard,
+        same H/W and ``bucket_size(fc_i)`` — use :func:`group_raw_clips`).
+        Returns one outputs dict per clip (``OneShotClipProgram.run``
+        contract: boxes trimmed to fc_i), plus an ``overrun`` flag where a
+        clip exceeded the static pick/shot bounds — callers re-run just
+        those clips on the streaming fallback path.
+        """
+        from retargetvid_tpu.pipeline.fused import unpack_clip_outputs
+        from retargetvid_tpu.pipeline.geometry import GeometryConfig, bucket_size
+        from retargetvid_tpu.pipeline.ingest import sal_dims
+
+        fcs = [int(r.shape[0]) for r in raws]
+        h, w = int(raws[0].shape[1]), int(raws[0].shape[2])
+        fc_cap = bucket_size(max(fcs))
+        sal_hw = sal_dims(w, h, crop_params['max_input_d'])
+        cfg = GeometryConfig.from_crop_params(crop_params)
+        fn, spec, t_sel_pad = self._compiled(
+            fc_cap, (h, w), sal_hw, cfg, float(fps), int(w_final),
+            int(h_final), int(crop_params['skip']))
+
+        def pad(r):
+            r = jnp.asarray(r)
+            if r.shape[0] != fc_cap:
+                r = jnp.pad(r, ((0, fc_cap - r.shape[0]), (0, 0), (0, 0),
+                                (0, 0)))
+            return r
+
+        vecs = fn(self.variables, self.tn_params,
+                  jnp.stack([pad(r) for r in raws]),
+                  jnp.asarray(fcs, jnp.int32))
+        vecs = np.asarray(vecs)
+        results = []
+        for i, fc in enumerate(fcs):
+            out = unpack_clip_outputs(vecs[i], spec)
+            out['boxes'] = out['boxes'][:fc].astype(np.int32)
+            out['fc_sel'] = int(out['fc_sel'])
+            out['n_segments'] = int(out['n_segments'])
+            out['overrun'] = (out['n_segments'] > self.s_pad or
+                              out['fc_sel'] > t_sel_pad)
+            results.append(out)
+        return results
+
+
+def raw_clip_signature(raw, fps) -> tuple:
+    """Everything that shapes the compiled one-shot SPMD program for a raw
+    clip: (H, W, frame-capacity bucket, fps)."""
+    from retargetvid_tpu.pipeline.geometry import bucket_size
+
+    fc, h, w = raw.shape[:3]
+    return (int(h), int(w), bucket_size(int(fc)), float(fps))
+
+
+def group_raw_clips(items, dp: int):
+    """Schedule (raw, meta) items into dp-sized same-signature batches.
+
+    ``items``: iterable of dicts with ``raw`` (fc, H, W, 3) and ``fps``.
+    A final partial batch repeats its last item (outputs dropped).  Returns
+    (batch_items, n_real) tuples, arrival order per signature."""
+    pools: dict = {}
+    order: list = []
+    for it in items:
+        k = raw_clip_signature(it['raw'], it['fps'])
+        if k not in pools:
+            pools[k] = []
+            order.append(k)
+        pools[k].append(it)
+    batches = []
+    for k in order:
+        pool = pools[k]
+        for i in range(0, len(pool), dp):
+            batch = pool[i:i + dp]
+            n_real = len(batch)
+            while len(batch) < dp:
+                batch.append(batch[-1])
+            batches.append((batch, n_real))
+    return batches
 
 
 class ShardedSaliency:

@@ -131,3 +131,36 @@ def test_oneshot_benchmark_matches_sequential(tmp_path):
         assert np.abs(seq - one).max() <= 1, vid
         info = (one_dir / 'run' / f'{vid}_1-3_info.txt').read_text()
         assert 't__clustering:' in info and 't_total:' in info
+
+
+def test_oneshot_sharded_benchmark_matches_oneshot(tmp_path):
+    """`benchmark --mesh 2 --oneshot` (whole-clip program, one clip per dp
+    shard) produces the same boxes as the per-clip one-shot path: the two
+    same-bucket clips ride ONE vmapped SPMD dispatch."""
+    vids = tmp_path / 'vids'
+    vids.mkdir()
+    _write_clip(vids / '001.mp4', 30, phase=0.0)
+    _write_clip(vids / '002.mp4', 31, phase=0.4)
+
+    from retargetvid_tpu.cli import main
+    from retargetvid_tpu.eval.annotations import read_boxes_file
+
+    one_dir = tmp_path / 'one'
+    main(['benchmark', '--videos', str(vids), '--out', str(one_dir),
+          '--test-name', 'run', '--ratios', '1:3', '--oneshot',
+          '--replace-existing'])
+    sh_dir = tmp_path / 'shard'
+    main(['benchmark', '--videos', str(vids), '--out', str(sh_dir),
+          '--test-name', 'run', '--ratios', '1:3', '--oneshot',
+          '--mesh', '2', '--replace-existing'])
+
+    for vid in ('001', '002'):
+        one = read_boxes_file(one_dir / 'run' / f'{vid}_1-3.txt')
+        sh = read_boxes_file(sh_dir / 'run' / f'{vid}_1-3.txt')
+        assert one.shape == sh.shape, vid
+        # Same body vmapped/padded vs compiled at the exact frame count;
+        # identical math modulo batched-fp reassociation.
+        assert np.abs(one - sh).max() <= 1, vid
+        info = (sh_dir / 'run' / f'{vid}_1-3_info.txt').read_text()
+        assert 't__clustering:' in info and 't_total:' in info
+        assert 'oneshot dp=2' in info
