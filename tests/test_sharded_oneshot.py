@@ -82,3 +82,16 @@ def test_sharded_oneshot_matches_single():
         [{'raw': _clip(rng, 40, h, w, 0.3), 'fps': fps}]
     batches = group_raw_clips(items, dp=2)
     assert [(len(b), n) for b, n in batches] == [(2, 2), (2, 1)]
+
+    # Overrun detection: flip the TransNet bias to cut on EVERY frame so
+    # n_segments blows past s_pad.  Params ride as jit arguments, so the
+    # new values reuse the compiled program (no recompile), the clamped
+    # device program still completes, and the batch flags the overrun for
+    # the caller's streaming fallback.
+    import jax.tree_util as jtu
+    cut_params = jtu.tree_map(lambda x: x, sharded.tn_params)
+    cut_params['params']['dense2']['bias'] = jnp.asarray([-5.0, 5.0])
+    sharded.tn_params = jax.device_put(
+        cut_params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    over = sharded.run_batch(raws, cp, **kw)
+    assert all(o['overrun'] for o in over)
