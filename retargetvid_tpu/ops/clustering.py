@@ -97,7 +97,7 @@ def connected_components(mask, n_iters: int = 12):
     labels = jnp.where(mask, flat_idx, bg_val)
     reset = ~mask
 
-    def body(_, labels):
+    def sweep(labels):
         pooled = _min_pool3(labels)
         labels = jnp.where(mask, jnp.minimum(labels, pooled), bg_val)
         labels = _segmented_cummin(labels, reset, axis=1)
@@ -106,7 +106,23 @@ def connected_components(mask, n_iters: int = 12):
         labels = _segmented_cummin(labels, reset, axis=0, reverse=True)
         return jnp.where(mask, labels, bg_val)
 
-    return jax.lax.fori_loop(0, n_iters, body, labels)
+    # Early exit at the fixpoint: labels decrease monotonically, so a
+    # sweep that changes nothing proves convergence and the remaining
+    # sweeps would be no-ops (results identical to the fixed-trip loop;
+    # realistic blobs settle in 2-4 sweeps, saving ~2/3 of the CCL time
+    # in the one-shot program — docs/PERF.md).
+    def cond(state):
+        i, _, done = state
+        return (i < n_iters) & ~done
+
+    def body(state):
+        i, labels, _ = state
+        new = sweep(labels)
+        return i + 1, new, jnp.array_equal(new, labels)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(False)))
+    return labels
 
 
 def _adaptive_link_mask(mask, min_samples: int, max_radius: int):

@@ -201,32 +201,36 @@ def _cut_boundary_fixup(raw_full, pass1_full, cut_mask, fc_sel,
         return out
 
     # Only ~3 frames per cut need the sequential recompute; gather them and
-    # scan over that bounded subset instead of every frame (t steps -> K
-    # steps; each scan step costs ~0.4 ms in dispatch/serialization alone).
-    # Capacity: each cut position contributes at most 3 redo frames.
+    # loop over that bounded subset instead of every frame (t steps -> K
+    # steps; each step costs ~0.4 ms in dispatch/serialization alone).
+    # Capacity: each cut position contributes at most 3 redo frames.  A
+    # while_loop stops at the clip's ACTUAL redo count (data, not the
+    # static capacity), so a 1-cut clip pays ~3 steps, not k_cap=30.
     k_cap = int(min(3 * (max_cuts + 1), t))
     redo_idx = jnp.nonzero(needs_redo, size=k_cap, fill_value=t)[0]
+    n_redo = jnp.minimum(jnp.sum(needs_redo).astype(jnp.int32),
+                         jnp.int32(k_cap))
 
-    def step(carry, j):
-        prev_idx, prev_out = carry
-        live = j < t
-        jc = jnp.clip(j, 0, t - 1)
+    def cond(state):
+        return state[0] < n_redo
+
+    def body(state):
+        k, prev_idx, prev_out, acc = state
+        jc = redo_idx[k]            # k < n_redo, so jc < t (live) always
         raw_j = jax.lax.dynamic_index_in_dim(raw_full, jc, keepdims=False)
         pass1_prev = jax.lax.dynamic_index_in_dim(
             pass1_full, jnp.clip(jc - 1, 0, t - 1), keepdims=False)
         # Chained redos feed the previous step's output; otherwise the
-        # previous frame kept its pass-1 result.
+        # previous frame kept its pass-1 result (redo indices ascend, so a
+        # redone predecessor is always the immediately previous step).
         prev_map = jnp.where(prev_idx == jc - 1, prev_out, pass1_prev)
         inp = jnp.trunc(jnp.mod(raw_j + prev_map, 256.0) / 2.0)
-        out = jax.lax.cond(live, refilter, lambda v: v, inp)
-        new_idx = jnp.where(live, jc, jnp.int32(-2))
-        return (new_idx, out), out
+        out = refilter(inp)
+        acc = jax.lax.dynamic_update_index_in_dim(acc, out, jc, 0)
+        return k + 1, jc, out, acc
 
-    init = (jnp.int32(-2), raw_full[0] * 0.0)
-    _, redone = jax.lax.scan(step, init, redo_idx)
-
-    # Out-of-range fill indices drop instead of clobbering frame t-1.
-    return pass1_full.at[redo_idx].set(redone, mode='drop')
+    init = (jnp.int32(0), jnp.int32(-2), raw_full[0] * 0.0, pass1_full)
+    return jax.lax.while_loop(cond, body, init)[3]
 
 
 def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
