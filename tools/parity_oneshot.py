@@ -127,32 +127,62 @@ def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0):
     return transnet_fn, predictor.predict, program
 
 
-def calibrate_tn_bias(transnet_fn, corpus, max_cut_frames: int = 6):
-    """Pick the smallest dense-bias shift that tames the random TransNet.
+def calibrate_tn_bias(transnet_fn, corpus, max_cut_frames: int = 6,
+                      margin: float = 1.5):
+    """Pick a dense-bias shift that tames the random TransNet ROBUSTLY.
 
     The final dense produces 2-class softmax logits, so adding ``[b, -b]``
     to its bias shifts every transition logit-difference down by ``2b`` —
-    a MONOTONE per-frame transform of the probs.  One unbiased probe pass
-    per corpus case gives the logit differences ``d``; the returned bias
-    keeps at most ``max_cut_frames`` frames per case above the 0.5
-    threshold (so picks fit the one-shot static bounds, ``s_pad=8``
-    shots) while preserving the strongest — i.e. real-content — spikes.
+    a MONOTONE per-frame transform of the probs.  Robustness matters more
+    than the cut count: the reference chain feeds the net cv2-resized
+    frames while the one-shot program resizes on device, so a frame whose
+    logit sits within the resize-path perturbation of the threshold flips
+    between the two sides (a random-init TransNet's content response is
+    ~0.03 logits — far below that perturbation).  The threshold is
+    therefore placed only in a ``2*margin``-wide GAP of the pooled logit
+    distribution (real content cuts spike well above the noise cluster);
+    if no such gap exists among the top ``max_cut_frames`` order
+    statistics, everything is pushed ``margin`` below threshold — both
+    sides then agree on a single uncut shot, and shot-structure parity is
+    carried by the mock-model harness (tools/parity_full.py) instead.
     """
     import cv2
-    need_shift = 0.0
+
+    from retargetvid_tpu.pipeline.ingest import TRANS_THRESHOLD
+    thr_logit = float(np.log(TRANS_THRESHOLD) - np.log1p(-TRANS_THRESHOLD))
+
+    floors, tops = [], []
     for case, (path, _ov) in sorted(corpus.items()):
         raw, _fps = decode_rgb(path)
         tn = np.stack([cv2.resize(f, (48, 27)) for f in raw])
         p = np.clip(np.asarray(transnet_fn(tn), np.float64), 1e-9, 1 - 1e-9)
         d = np.log(p) - np.log1p(-p)
         hi = np.sort(d)[::-1]
-        # Shift so the (max_cut_frames+1)-th largest d lands below 0.
-        s = hi[max_cut_frames] if len(hi) > max_cut_frames else 0.0
-        print(f'probe {case:12s}: frames>0.5 unbiased '
-              f'{int((p > 0.5).sum()):3d}, need shift {max(s, 0.0):.3f}',
-              flush=True)
-        need_shift = max(need_shift, s)
-    return float(need_shift / 2.0 + 0.05)
+        print(f'probe {case:12s}: frames>thr unbiased '
+              f'{int((p > TRANS_THRESHOLD).sum()):3d}, top logits '
+              f'{np.round(hi[:max_cut_frames + 2], 3).tolist()}', flush=True)
+        floors.append(hi)
+        tops.append(hi[0])
+    # Candidate thresholds: midpoints of gaps >= 2*margin among the pooled
+    # top-k order statistics, identical across all cases by construction
+    # (one global shift).  k=0 (no cuts anywhere) is always available.
+    pooled = np.sort(np.concatenate([h[:max_cut_frames + 1]
+                                     for h in floors]))[::-1]
+    for k in range(max_cut_frames, 0, -1):
+        t = pooled[k - 1] - margin            # just below the k-th largest
+        ok = all((h >= t + margin).sum() <= max_cut_frames
+                 and not ((h > t - margin) & (h < t + margin)).any()
+                 for h in floors)
+        if ok:
+            print(f'calibrated: threshold in a >= {2 * margin:.1f}-logit '
+                  f'gap, {k} pooled cut frames kept', flush=True)
+            return float((t - thr_logit) / 2.0)
+    t = max(tops) + margin
+    print('calibrated: no robust gap — shifting ALL frames below threshold '
+          '(single-shot regime on both sides)', flush=True)
+    # Fire iff (d - 2b) > thr_logit; placing the cutover at d = t needs
+    # b = (t - thr_logit) / 2 (TRANS_THRESHOLD is 0.1, not 0.5).
+    return float((t - thr_logit) / 2.0)
 
 
 def decode_rgb(path):
