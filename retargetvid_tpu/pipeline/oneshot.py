@@ -262,9 +262,16 @@ class OneShotClipProgram:
         jax.eval_shape(fn, *zero_args)
         return jax.jit(fn), dict(spec_holder)
 
-    def run(self, raw_frames, crop_params: dict, *, fps: float,
-            w_final: int, h_final: int) -> dict:
-        """(fc, H, W, 3) uint8 device frames -> outputs dict (ONE fetch)."""
+    def dispatch(self, raw_frames, crop_params: dict, *, fps: float,
+                 w_final: int, h_final: int):
+        """Enqueue the clip program WITHOUT fetching its outputs.
+
+        Returns an opaque ticket for :meth:`collect`.  XLA dispatch is
+        asynchronous, so a caller can enqueue clip N+1 while clip N still
+        executes — the steady-state production pattern (and how
+        ``bench.py`` measures pipelined throughput): device execution and
+        the dispatch/fetch link overlap instead of alternating.
+        """
         from retargetvid_tpu.pipeline.ingest import sal_dims
 
         fc, h, w = (int(raw_frames.shape[0]), int(raw_frames.shape[1]),
@@ -275,12 +282,16 @@ class OneShotClipProgram:
                                   float(fps), int(w_final), int(h_final),
                                   int(crop_params['skip']))
         vec = fn(self.variables, self.tn_params, raw_frames)
+        return vec, spec, fc, int(crop_params['skip'])
+
+    def collect(self, ticket) -> dict:
+        """Fetch + unpack a :meth:`dispatch` ticket (blocks on the value)."""
+        vec, spec, fc, skip = ticket
         out = unpack_clip_outputs(np.asarray(vec), spec)
         out['boxes'] = out['boxes'][:fc].astype(np.int32)
         out['fc_sel'] = int(out['fc_sel'])
         out['n_segments'] = int(out['n_segments'])
-        t_sel_pad = bucket_size(fc // int(crop_params['skip']) + 2 +
-                                self.s_pad)
+        t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
         if out['n_segments'] > self.s_pad or out['fc_sel'] > t_sel_pad:
             raise ValueError(
                 f'clip exceeds one-shot static bounds '
@@ -288,3 +299,9 @@ class OneShotClipProgram:
                 f'{out["fc_sel"]} picks > t_sel_pad={t_sel_pad}); '
                 'use the 2-dispatch path')
         return out
+
+    def run(self, raw_frames, crop_params: dict, *, fps: float,
+            w_final: int, h_final: int) -> dict:
+        """(fc, H, W, 3) uint8 device frames -> outputs dict (ONE fetch)."""
+        return self.collect(self.dispatch(raw_frames, crop_params, fps=fps,
+                                          w_final=w_final, h_final=h_final))

@@ -154,3 +154,37 @@ def test_oneshot_program_matches_two_dispatch():
     np.testing.assert_allclose(one['probs'][:fc], probs, rtol=1e-5,
                                atol=1e-5)
     assert np.array_equal(one['boxes'], np.asarray(two['boxes'], np.int32))
+
+
+def test_oneshot_pipelined_dispatch_matches_run():
+    """dispatch-all-then-collect (the bench.py BENCH_PIPELINE protocol and
+    the production serving pattern) == the synchronous per-clip run()."""
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.models.transnet import TransNetV1
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    fc, h, w = 48, 72, 128
+    cp = sc_init_crop_params()
+    cp['out_ratio'] = '1:3'
+    dest = calc_dest_size(w, h, cp['out_ratio'])
+
+    tn_model = TransNetV1(f=2, l=3, s=2, d=16)
+    tn_params = tn_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
+    tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+    program = OneShotClipProgram(tn_model, tn_params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    clips = [jnp.asarray(rng.integers(0, 255, (fc, h, w, 3)).astype(np.uint8))
+             for _ in range(3)]
+    kw = dict(fps=30.0, w_final=dest['w_final'], h_final=dest['h_final'])
+
+    sync = [program.run(c, cp, **kw) for c in clips]
+    tickets = [program.dispatch(c, cp, **kw) for c in clips]
+    piped = [program.collect(t) for t in tickets]
+    for a, b in zip(sync, piped):
+        assert np.array_equal(a['boxes'], b['boxes'])
+        assert a['fc_sel'] == b['fc_sel']
+        assert a['n_segments'] == b['n_segments']
