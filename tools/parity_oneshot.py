@@ -286,9 +286,60 @@ def format_report(rows) -> str:
     return '\n'.join(lines)
 
 
+def roll_video(path, out_path, dx: int = 1):
+    """Re-encode ``path`` with every frame rolled ``dx`` px horizontally —
+    a semantically-null perturbation (the ideal crop box moves by dx)."""
+    import cv2
+    raw, fps = decode_rgb(path)
+    rolled = np.roll(raw, dx, axis=2)
+    h, w = raw.shape[1], raw.shape[2]
+    vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
+                         fps, (w, h))
+    for f in rolled:
+        vw.write(f[:, :, ::-1])
+    vw.release()
+    return out_path
+
+
+def oracle_stability(corpus, ref, presets, ratios, vdir):
+    """Reference-vs-itself under a 1-px roll, with the same real models.
+
+    Prices the oracle's own sensitivity in the regime where our ISM rows
+    diverge: if HDBSCAN's EOM selection moves the reference's final boxes
+    more under a semantically-null 1-px translation than our one-shot
+    program diverges from the un-perturbed reference, the divergence is
+    inside the oracle's chaos (same argument as docs/PARITY.md's
+    stage-level stability table, here end-to-end)."""
+    rows = []
+    for case, (path, overrides) in corpus.items():
+        rolled = roll_video(path, os.path.join(vdir, case + '_roll1.mp4'))
+        for preset_name, base_cp in presets:
+            for ratio in ratios:
+                cp = dict(base_cp)
+                cp['out_ratio'] = ratio
+                cp.update(overrides)
+                vd_a, _ = pf.run_reference(ref, path, cp)
+                vd_b, _ = pf.run_reference(ref, rolled, cp)
+                a = np.asarray(vd_a['bbs'], np.int64)
+                b = np.asarray(vd_b['bbs'], np.int64)
+                n = min(len(a), len(b))
+                ious = np.array([pf.iou(a[i], b[i]) for i in range(n)])
+                rows.append(dict(case=case, preset=preset_name, ratio=ratio,
+                                 iou_mean=float(ious.mean()),
+                                 iou_min=float(ious.min())))
+                print(f"oracle-roll1 {case:12s} {preset_name:4s} {ratio} "
+                      f"self-iou={ious.mean():.4f} (min {ious.min():.4f})",
+                      flush=True)
+    return rows
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--report', default=None)
+    parser.add_argument('--oracle-stability', action='store_true',
+                        help='instead of the parity table, measure the '
+                             'reference-vs-itself box movement under a '
+                             '1-px horizontal roll (same real models)')
     parser.add_argument('--video-dir', default=None)
     parser.add_argument('--settings', choices=['icip', 'ism', 'both'],
                         default='both')
@@ -324,6 +375,12 @@ def main(argv=None):
     ref = pf.load_reference_pipeline()
     ref['transnet_model'] = _RealTransNet(transnet_fn)
     ref['unisal_handler'] = _real_unisal_handler(saliency_fn)
+
+    if args.oracle_stability:
+        rows = oracle_stability(corpus, ref, presets, ratios, vdir)
+        for r in rows:
+            print(r)
+        return rows
 
     rows = evaluate(corpus, ref, presets, ratios, program)
 
