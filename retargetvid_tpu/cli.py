@@ -436,6 +436,33 @@ def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,
         print(f' {suffix}: {len(boxes)} boxes')
         _eval_inline(annots, item['vid_fn'], ar, boxes)
 
+    # SPMD dispatch/collect pipelining: enqueue up to `max_groups_inflight`
+    # signature-group programs before fetching the oldest — the mesh runs
+    # group N while group N+1's dispatch (and the host-side decode feed)
+    # proceeds, so the per-group dispatch/fetch link cost is overlapped.
+    inflight: deque = deque()
+    max_groups_inflight = 2
+
+    def collect_group():
+        (batch, n_real, ar, cp, dest, ticket, t0, h, w,
+         fps) = inflight.popleft()
+        results = runner.collect_batch(ticket)
+        t_dev = (_time.perf_counter() - t0) / max(n_real, 1)
+        for item, res in list(zip(batch, results))[:n_real]:
+            if res['overrun']:
+                print(f" oneshot overrun, streaming fallback: "
+                      f"{item['vid_fn']}")
+                boxes, res_info = fallback(item, cp, ar)
+                emit(item, ar, cp, boxes, res_info)
+                continue
+            fc = item['raw'].shape[0]
+            info = _oneshot_info(
+                cp, result=f'smart cropped (oneshot dp={dp})', h=h,
+                w=w, sal_hw=sal_dims(w, h, cp['max_input_d']),
+                dest=dest, boxes=res['boxes'], fc=fc, fps=fps,
+                t_read=item['t_read'], t_dev=t_dev)
+            emit(item, ar, cp, res['boxes'], info)
+
     def run_group(batch, n_real):
         it0 = batch[0]
         h, w = it0['raw'].shape[1], it0['raw'].shape[2]
@@ -445,24 +472,13 @@ def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,
             cp['out_ratio'] = ar
             dest = calc_dest_size(w, h, ar)
             t0 = _time.perf_counter()
-            results = runner.run_batch(
+            ticket = runner.dispatch_batch(
                 [it['raw'] for it in batch], cp, fps=fps,
                 w_final=dest['w_final'], h_final=dest['h_final'])
-            t_dev = (_time.perf_counter() - t0) / max(n_real, 1)
-            for item, res in list(zip(batch, results))[:n_real]:
-                if res['overrun']:
-                    print(f" oneshot overrun, streaming fallback: "
-                          f"{item['vid_fn']}")
-                    boxes, res_info = fallback(item, cp, ar)
-                    emit(item, ar, cp, boxes, res_info)
-                    continue
-                fc = item['raw'].shape[0]
-                info = _oneshot_info(
-                    cp, result=f'smart cropped (oneshot dp={dp})', h=h,
-                    w=w, sal_hw=sal_dims(w, h, cp['max_input_d']),
-                    dest=dest, boxes=res['boxes'], fc=fc, fps=fps,
-                    t_read=item['t_read'], t_dev=t_dev)
-                emit(item, ar, cp, res['boxes'], info)
+            inflight.append((batch, n_real, ar, cp, dest, ticket, t0,
+                             h, w, fps))
+            while len(inflight) > max_groups_inflight:
+                collect_group()
 
     def done_paths():
         if args.replace_existing:
@@ -516,6 +532,8 @@ def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,
         while len(rest) < dp:
             rest.append(rest[-1])
         run_group(rest, n_real)
+    while inflight:
+        collect_group()
 
 
 def cmd_benchmark(args):

@@ -233,18 +233,13 @@ class ShardedOneShot:
                        jax.ShapeDtypeStruct((d,), jnp.int32))
         return fn, dict(spec_holder), t_sel_pad
 
-    def run_batch(self, raws, crop_params: dict, *, fps: float,
-                  w_final: int, h_final: int) -> list:
-        """Run a dp-sized batch of raw clips sharing one signature.
-
-        ``raws``: list of (fc_i, H, W, 3) uint8 arrays (one per dp shard,
-        same H/W and ``bucket_size(fc_i)`` — use :func:`group_raw_clips`).
-        Returns one outputs dict per clip (``OneShotClipProgram.run``
-        contract: boxes trimmed to fc_i), plus an ``overrun`` flag where a
-        clip exceeded the static pick/shot bounds — callers re-run just
-        those clips on the streaming fallback path.
-        """
-        from retargetvid_tpu.pipeline.fused import unpack_clip_outputs
+    def dispatch_batch(self, raws, crop_params: dict, *, fps: float,
+                       w_final: int, h_final: int):
+        """Enqueue a dp-sized batch WITHOUT fetching (ticket for
+        :meth:`collect_batch`).  Dispatch is asynchronous, so a caller can
+        enqueue signature-group N+1 while the mesh still runs group N —
+        the benchmark's steady-state pattern (mirrors
+        ``OneShotClipProgram.dispatch``)."""
         from retargetvid_tpu.pipeline.geometry import GeometryConfig, bucket_size
         from retargetvid_tpu.pipeline.ingest import sal_dims
 
@@ -267,6 +262,13 @@ class ShardedOneShot:
         vecs = fn(self.variables, self.tn_params,
                   jnp.stack([pad(r) for r in raws]),
                   jnp.asarray(fcs, jnp.int32))
+        return vecs, spec, fcs, t_sel_pad
+
+    def collect_batch(self, ticket) -> list:
+        """Fetch + unpack a :meth:`dispatch_batch` ticket (blocks)."""
+        from retargetvid_tpu.pipeline.fused import unpack_clip_outputs
+
+        vecs, spec, fcs, t_sel_pad = ticket
         vecs = np.asarray(vecs)
         results = []
         for i, fc in enumerate(fcs):
@@ -278,6 +280,20 @@ class ShardedOneShot:
                               out['fc_sel'] > t_sel_pad)
             results.append(out)
         return results
+
+    def run_batch(self, raws, crop_params: dict, *, fps: float,
+                  w_final: int, h_final: int) -> list:
+        """Run a dp-sized batch of raw clips sharing one signature.
+
+        ``raws``: list of (fc_i, H, W, 3) uint8 arrays (one per dp shard,
+        same H/W and ``bucket_size(fc_i)`` — use :func:`group_raw_clips`).
+        Returns one outputs dict per clip (``OneShotClipProgram.run``
+        contract: boxes trimmed to fc_i), plus an ``overrun`` flag where a
+        clip exceeded the static pick/shot bounds — callers re-run just
+        those clips on the streaming fallback path.
+        """
+        return self.collect_batch(self.dispatch_batch(
+            raws, crop_params, fps=fps, w_final=w_final, h_final=h_final))
 
 
 def raw_clip_signature(raw, fps) -> tuple:
