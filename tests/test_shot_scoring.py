@@ -22,8 +22,13 @@ def oracle():
     assert {n.name for n in nodes} == set(ORACLE_FUNCS)
     ns = {'np': np, 'argrelextrema': argrelextrema, 'find_peaks': find_peaks,
           'print': lambda *a, **k: None}
-    exec(compile(ast.Module(body=nodes, type_ignores=[]), REFERENCE, 'exec'),
-         ns)
+    import warnings
+    with warnings.catch_warnings():
+        # The reference file itself contains an invalid '\%' escape; the
+        # SyntaxWarning belongs to the oracle source, not this suite.
+        warnings.simplefilter('ignore', SyntaxWarning)
+        exec(compile(ast.Module(body=nodes, type_ignores=[]), REFERENCE,
+                     'exec'), ns)
     return ns
 
 
