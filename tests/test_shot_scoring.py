@@ -15,18 +15,19 @@ ORACLE_FUNCS = ['mov_avg', 'smooth', 'find_extremas', 'process_sd_x',
 def oracle():
     from scipy.signal import argrelextrema, find_peaks
 
-    with open(REFERENCE) as fp:
-        tree = ast.parse(fp.read())
-    nodes = [n for n in tree.body
-             if isinstance(n, ast.FunctionDef) and n.name in ORACLE_FUNCS]
-    assert {n.name for n in nodes} == set(ORACLE_FUNCS)
-    ns = {'np': np, 'argrelextrema': argrelextrema, 'find_peaks': find_peaks,
-          'print': lambda *a, **k: None}
     import warnings
     with warnings.catch_warnings():
         # The reference file itself contains an invalid '\%' escape; the
-        # SyntaxWarning belongs to the oracle source, not this suite.
+        # SyntaxWarning belongs to the oracle source, not this suite (it is
+        # emitted at ast.parse time, so the parse must sit inside the guard).
         warnings.simplefilter('ignore', SyntaxWarning)
+        with open(REFERENCE) as fp:
+            tree = ast.parse(fp.read())
+        nodes = [n for n in tree.body
+                 if isinstance(n, ast.FunctionDef) and n.name in ORACLE_FUNCS]
+        assert {n.name for n in nodes} == set(ORACLE_FUNCS)
+        ns = {'np': np, 'argrelextrema': argrelextrema,
+              'find_peaks': find_peaks, 'print': lambda *a, **k: None}
         exec(compile(ast.Module(body=nodes, type_ignores=[]), REFERENCE,
                      'exec'), ns)
     return ns
