@@ -204,43 +204,65 @@ def main():
     # window over the pool, so every stacked batch buffer differs) never
     # dispatched before.
     #
-    # BENCH_PIPELINE=1 (one-shot path only) measures steady-state
-    # THROUGHPUT: all clips are dispatched before the first result is
-    # fetched, so device execution of clip N overlaps the dispatch/fetch
-    # link traffic of its neighbors — the production serving pattern
-    # (every result is still value-fetched, which is the only reliable
-    # sync on this relay).  Default (BENCH_PIPELINE=0) is per-clip
-    # LATENCY: dispatch->fetch per clip, MEDIAN over iterations
-    # (docs/PERF.md methodology).
-    pipelined = (os.environ.get('BENCH_PIPELINE', '0') == '1'
-                 and batch == 1
-                 and os.environ.get('BENCH_ONESHOT', '1') != '0')
-    if pipelined:
-        t0 = time.perf_counter()
-        tickets = [dispatch_once(c) for c in clips_dev]
-        for t in tickets:
-            out = collect_once(t)
-            assert out['boxes'].shape == (n_frames, 4)
-        dt = (time.perf_counter() - t0) / n_timed
-        times = [dt]
-    else:
+    # Two protocols, BOTH measured by default in the one-shot path so the
+    # driver artifact and any narrative quote the same run:
+    #
+    # - per_clip (the headline `value`): per-clip LATENCY, dispatch->fetch
+    #   per clip, MEDIAN over iterations (docs/PERF.md methodology).  The
+    #   defensible default — no overlap between clips.
+    # - pipelined: steady-state THROUGHPUT — all clips are dispatched before
+    #   the first result is fetched, so device execution of clip N overlaps
+    #   the dispatch/fetch link traffic of its neighbors, the production
+    #   serving pattern (every result is still value-fetched, which is the
+    #   only reliable sync on this relay).
+    #
+    # BENCH_PIPELINE=0 / =1 restrict the run to one protocol.
+    pipelined_capable = (batch == 1
+                         and os.environ.get('BENCH_ONESHOT', '1') != '0')
+    mode = os.environ.get('BENCH_PIPELINE', 'both')
+    do_pipelined = pipelined_capable and mode in ('1', 'both')
+    do_per_clip = mode in ('0', 'both') or not pipelined_capable
+
+    per_clip_fps = pipelined_fps = None
+    if do_per_clip:
         times = []
         for i in range(n_timed):
             arg = clips_dev[i] if batch == 1 else clips_dev[i:i + batch]
             t0 = time.perf_counter()
             run_once(arg)
             times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
+        per_clip_fps = n_frames * batch / float(np.median(times))
+        if os.environ.get('BENCH_VERBOSE'):
+            print('per-clip seconds:', [round(t, 4) for t in times])
+    if do_pipelined:
+        # Fresh clip buffers: the relay memoizes byte-identical dispatches,
+        # so re-dispatching the per-clip pool would be served from the memo.
+        pipe_dev = [jax.device_put(jnp.asarray(
+            make_clip(n_frames, h, w, seed=200 + s)))
+            for s in range(n_timed)]
+        for c in pipe_dev:
+            c.block_until_ready()
+        t0 = time.perf_counter()
+        tickets = [dispatch_once(c) for c in pipe_dev]
+        for t in tickets:
+            out = collect_once(t)
+            assert out['boxes'].shape == (n_frames, 4)
+        pipelined_fps = n_frames * n_timed / (time.perf_counter() - t0)
 
-    fps_pipeline = n_frames * batch / dt
-    if os.environ.get('BENCH_VERBOSE'):
-        print('per-iteration seconds:', [round(t, 4) for t in times])
-    print(json.dumps({
+    headline = per_clip_fps if per_clip_fps is not None else pipelined_fps
+    result = {
         'metric': 'end-to-end crop pipeline throughput (640x360 video frames/sec, single chip)',
-        'value': round(fps_pipeline, 2),
+        'value': round(headline, 2),
         'unit': 'frames/sec',
-        'vs_baseline': round(fps_pipeline / REFERENCE_FPS, 2),
-    }))
+        'vs_baseline': round(headline / REFERENCE_FPS, 2),
+        'protocol': 'per_clip_median' if per_clip_fps is not None
+                    else 'pipelined',
+    }
+    if per_clip_fps is not None:
+        result['per_clip_fps'] = round(per_clip_fps, 2)
+    if pipelined_fps is not None:
+        result['pipelined_fps'] = round(pipelined_fps, 2)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

@@ -888,6 +888,10 @@ def main(argv=None):
     pr.set_defaults(fn=cmd_predict)
 
     args = p.parse_args(argv)
+    # Persistent XLA cache: repeat CLI invocations (the benchmark resume
+    # pattern, reference smartVidCrop.py:2732-2742) skip recompilation.
+    from retargetvid_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 

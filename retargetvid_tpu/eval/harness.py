@@ -7,8 +7,11 @@ Vectorized reimplementation of the reference evaluator
 - negative coordinates of BOTH boxes clamped to 0 (``:181-190``)
 - per video: mean of frame IoUs; per user: mean over videos; reported
   worst/best/mean x100 over the 6 users (``:235-246``)
-- frame counts taken from annotator 1; prediction files may mismatch by
-  +-1 frame (extra prediction frames ignored; missing frames are an error)
+- frame counts taken from annotator 1; extra prediction frames are ignored
+  and short files warn + score over the frames present (``:174,193-194``)
+- a per-run validity report (missing files / frame-count mismatches beyond
+  the +-1 tolerance) prints before scoring and never disqualifies a run
+  (``retargetvid_eval.py:92-125``)
 
 The whole 200-video x 2-ratio x 6-user scoring runs as flat numpy array math
 rather than the reference's quadruple Python loop.
@@ -77,11 +80,56 @@ def benchmark_eval_boxes(pred_boxes: np.ndarray, ar: str) -> np.ndarray:
     return pred
 
 
+def validate_runs(results_dir, annots, vid_inds=VID_INDS,
+                  verbose=True) -> dict:
+    """Per-run validity report before scoring (``retargetvid_eval.py:92-125``).
+
+    For every run directory: count missing prediction files and files whose
+    line count differs from the annotated frame count by MORE than the +-1
+    tolerance.  Warn-don't-raise — every run stays eligible for scoring,
+    exactly like the reference (its ``if file_errors_count==0`` gate is
+    commented out).  Returns ``{run: (file_errors, frame_count_errors)}``.
+    """
+    results_dir = Path(results_dir)
+    frame_counts = frame_counts_from_annots(annots, vid_inds)
+    runs = sorted(p.name for p in results_dir.iterdir() if p.is_dir())
+    report = {}
+    if verbose:
+        print(' Checking runs validity...')
+    for run in runs:
+        file_errors = 0
+        frame_errors = 0
+        for vid_ind in vid_inds:
+            for ar in ASPECT_RATIOS:
+                fn = results_dir / run / ('%03d_%s.txt' % (vid_ind, ar))
+                if not fn.is_file():
+                    file_errors += 1
+                    continue
+                with open(fn) as fp:
+                    n_lines = len(fp.read().splitlines())
+                if abs(frame_counts[vid_ind] - n_lines) > 1:
+                    frame_errors += 1
+        report[run] = (file_errors, frame_errors)
+        if verbose:
+            print(' - %-30s (file errors:%d + frame count errors:%d)'
+                  % (run, file_errors, frame_errors))
+    if verbose:
+        print(' valid runs::')
+        for run in runs:
+            print(' - %s' % run)
+    return report
+
+
 def score_run(run_dir, annots, vid_inds=VID_INDS) -> dict:
     """Score one results directory against all annotators.
 
     Returns ``{ar: {'worst','best','mean','per_user','per_video',
     'missing_files'}}`` with scores x100 as the reference prints them.
+
+    Short prediction files warn and score over the frames present (the
+    reference prints "could not find annotation!" and breaks its frame
+    loop, averaging the frames scored so far — ``retargetvid_eval.py:174,
+    193-194``); an empty file counts as missing.
     """
     run_dir = Path(run_dir)
     frame_counts = frame_counts_from_annots(annots, vid_inds)
@@ -99,9 +147,13 @@ def score_run(run_dir, annots, vid_inds=VID_INDS) -> dict:
             pred = read_boxes_file(fn)
             n_frames = frame_counts[vid_ind]
             if len(pred) < n_frames:
-                raise ValueError(
-                    f'{fn}: {len(pred)} prediction frames < {n_frames} '
-                    f'annotated frames')
+                print('  could not find annotation!  '
+                      'run:%s,ar:%s,video:%d,frame:%d'
+                      % (run_dir.name, ar, vid_ind, len(pred)))
+                n_frames = len(pred)
+                if n_frames == 0:
+                    missing += 1
+                    continue
             pred = np.maximum(pred[:n_frames].astype(np.float64), 0.0)
             # gt stack: (users, frames, 4), clamped like the reference
             gt = np.stack([np.maximum(
@@ -181,6 +233,7 @@ def evaluate_results_tree(results_dir, annots,
     """
     results_dir = Path(results_dir)
     runs = sorted(p.name for p in results_dir.iterdir() if p.is_dir())
+    validity = validate_runs(results_dir, annots, vid_inds, verbose=verbose)
     evals = {}
     lines = []
     cols = ('Worst', 'Best', 'Mean', 'ttm', 'tta', 'tcm', 'tca',
@@ -193,6 +246,7 @@ def evaluate_results_tree(results_dir, annots,
         stats = parse_info_stats(results_dir / run, vid_inds)
         evals[run] = scores
         evals[run]['info_stats'] = stats
+        evals[run]['validity'] = validity.get(run, (0, 0))
         row = '%-36s,' % run
         missing_total = 0
         for ar in ASPECT_RATIOS:

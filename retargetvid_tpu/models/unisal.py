@@ -154,6 +154,12 @@ class UNISAL(nn.Module):
     """
     rnn_input_channels: int = 256
     rnn_hidden_channels: int = 256
+    #: Backbone width/head knobs.  Defaults reproduce the reference; the
+    #: multichip dryrun and the mesh test tier narrow them so cold compiles
+    #: of the full train/inference programs stay cheap (the sharding and
+    #: collective structure being validated is channel-count independent).
+    cnn_widen_factor: float = 1.0
+    cnn_last_channel: Optional[int] = 1280
     bypass_rnn: bool = True
     res_rnn: bool = True
     n_gaussians: int = 16
@@ -190,7 +196,8 @@ class UNISAL(nn.Module):
         if static is None:
             static = t == 1 or tuple(self.sources) == ('SALICON',)
 
-        cnn = MobileNetV2(name='cnn')
+        cnn = MobileNetV2(widen_factor=self.cnn_widen_factor,
+                          last_channel=self.cnn_last_channel, name='cnn')
         # Fold time into batch: one conv batch instead of a frame loop.
         flat = x.reshape(b * t, h, w, c)
         feat_1x, feat_2x, feat_4x = cnn(flat)

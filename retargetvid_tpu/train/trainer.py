@@ -14,9 +14,13 @@ re-designed for SPMD:
   step per source;
 - multi-source interleaving with per-source loss weights
   (salicon_weight=0.5 etc.);
-- the step is jitted over a (dp, sp, tp) mesh: batch shards over dp, frame
-  rows over sp, wide conv channels over tp; gradients reduce over dp via
-  XLA-inserted collectives (no explicit psum calls).
+- mesh training: ``fit(..., mesh=...)`` (or ``init_state(mesh=...)``)
+  shards parameters over tp (wide conv channels, ``parallel.mesh.
+  param_shardings``), replicates batch statistics, and places every batch
+  with B over dp (and H over sp when divisible); the jitted step then runs
+  SPMD with gradients reducing over dp via XLA-inserted collectives (no
+  explicit psum calls).  Without a mesh, training runs on the default
+  single device.
 
 Checkpointing: numpy-pickle of the variable/optimizer trees plus the
 KwConfig JSON round trip (reference ``utils.py:28-44``).
@@ -266,6 +270,10 @@ class Trainer(KwConfig):
         self._steps: dict = {}
         self.state: Optional[TrainState] = None
         self._tx = None
+        #: Optional jax.sharding.Mesh for SPMD training (set via
+        #: ``fit(mesh=...)`` / ``init_state(mesh=...)``); runtime-only,
+        #: never serialized by KwConfig.
+        self.mesh = None
 
         # Loop bookkeeping (reference train.py:190-205).
         self.epoch = 0
@@ -277,13 +285,33 @@ class Trainer(KwConfig):
 
     # -- setup -----------------------------------------------------------
     def init_state(self, rng_seed: int = 0, example_shape=(1, 1, 224, 416, 3),
-                   variables: Optional[dict] = None) -> TrainState:
+                   variables: Optional[dict] = None, mesh=None,
+                   tp_threshold: int = 256) -> TrainState:
+        """Create (or adopt) model variables and the optimizer state.
+
+        With ``mesh`` (a (dp, sp, tp) ``jax.sharding.Mesh``), parameters
+        shard over tp via ``parallel.mesh.param_shardings`` and batch
+        statistics replicate; the optimizer trace inherits the parameter
+        shardings (``zeros_like`` preserves sharding), so every subsequent
+        jitted step runs SPMD over the mesh.
+        """
+        if mesh is not None:
+            self.mesh = mesh
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros(example_shape, jnp.float32), static=False)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from retargetvid_tpu.parallel.mesh import param_shardings
+            params = jax.device_put(
+                params, param_shardings(self.mesh, params,
+                                        tp_threshold=tp_threshold))
+            batch_stats = jax.device_put(batch_stats,
+                                         NamedSharding(self.mesh, P()))
         self._tx = make_optimizer(
             params, lr=self.lr, momentum=self.momentum,
             lr_gamma=self.lr_gamma, steps_per_epoch=self.steps_per_epoch,
@@ -304,6 +332,23 @@ class Trainer(KwConfig):
                 sources=self.data_sources, donate=False)
         return self._steps[key]
 
+    def _shard_batch(self, arr):
+        """Place one batch array: B over dp, H over sp (when divisible)."""
+        arr = jnp.asarray(arr)
+        if self.mesh is None:
+            return arr
+        from retargetvid_tpu.parallel.mesh import batch_sharding
+        dp = self.mesh.shape['dp']
+        if arr.shape[0] % dp:
+            raise ValueError(
+                f'batch size {arr.shape[0]} not divisible by the mesh dp '
+                f'axis ({dp})')
+        sp = self.mesh.shape['sp']
+        spatial = 2 if (arr.ndim >= 5 and sp > 1
+                        and arr.shape[2] % sp == 0) else None
+        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim,
+                                                  spatial_axis=spatial))
+
     def source_weight(self, source: str) -> float:
         return {'SALICON': self.salicon_weight,
                 'Hollywood': self.hollywood_weight,
@@ -312,7 +357,7 @@ class Trainer(KwConfig):
     # -- training --------------------------------------------------------
     def fit(self, dataloaders, train_dir, *, rng_seed: int = 0,
             chkpnt_warmup: int = 3, chkpnt_epochs: int = 2,
-            shuffle_datasets: bool = True):
+            shuffle_datasets: bool = True, mesh=None):
         """The reference's full training loop (``train.py:223-354``).
 
         ``dataloaders``: ``{source: {'train': factory, 'valid': factory}}``
@@ -324,9 +369,14 @@ class Trainer(KwConfig):
         best weights (saved to ``train_dir``); checkpoints follow the
         reference's warmup/period rule; scalars export at the end.
 
+        With ``mesh``, the whole run is SPMD over the (dp, sp, tp) mesh:
+        see ``init_state``/``_shard_batch`` (batch sizes must divide dp).
+
         Returns the best validation score (``-val_loss``, reference
         ``fit:245``).
         """
+        if mesh is not None:
+            self.mesh = mesh
         train_dir = Path(train_dir)
         train_dir.mkdir(parents=True, exist_ok=True)
         rng = jax.random.PRNGKey(rng_seed)
@@ -426,9 +476,9 @@ class Trainer(KwConfig):
         counts: dict = {}
         for src in schedule:
             x, sal, fix = next(iters[src])
-            x = jnp.asarray(x)
-            sal = jnp.asarray(sal)
-            fix = jnp.asarray(fix)
+            x = self._shard_batch(x)
+            sal = self._shard_batch(sal)
+            fix = self._shard_batch(fix)
             model_src = 'SALICON' if src == 'MIT1003' else src
             static = x.shape[1] == 1
             if phase == 'train':
@@ -557,7 +607,9 @@ class Trainer(KwConfig):
         for source, x, sal, fix in batches:
             rng, sub = jax.random.split(rng)
             step = self.step_fn(source, x.shape[1] == 1, train_cnn)
-            self.state, m = step(self.state, x, sal, fix, sub)
+            self.state, m = step(self.state, self._shard_batch(x),
+                                 self._shard_batch(sal),
+                                 self._shard_batch(fix), sub)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * \
                     self.source_weight(source)

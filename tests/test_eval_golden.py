@@ -10,11 +10,14 @@ model work.
 import numpy as np
 import pytest
 
+from retargetvid_tpu.eval.annotations import write_boxes_file
 from retargetvid_tpu.eval.harness import (
     benchmark_eval_boxes,
+    evaluate_results_tree,
     iou_series,
     iou_xyxy_inclusive,
     score_run,
+    validate_runs,
 )
 
 
@@ -63,6 +66,56 @@ def test_benchmark_eval_boxes_31():
     pred = np.array([[3, 40, 99, 99]])
     fixed = benchmark_eval_boxes(pred, '3:1')
     assert fixed.tolist() == [[3, 40, 640, 254]]
+
+
+def _tiny_annots(vid_inds, n_frames=10, n_users=2):
+    """Synthetic annots[user][ar][vid] nesting with constant boxes."""
+    annots = []
+    for u in range(n_users):
+        user = {}
+        for ar in ('1-3', '3-1'):
+            user[ar] = {v: np.tile([10 + u, 0, 130 + u, 360], (n_frames, 1))
+                        for v in vid_inds}
+        annots.append(user)
+    return annots
+
+
+def test_corrupted_run_warns_and_still_scores(tmp_path, capsys):
+    """Malformed run directories reproduce the reference's console behavior
+    (``retargetvid_eval.py:92-125``): a validity report with file and
+    frame-count error counts, warn-don't-raise, partial scoring of short
+    files."""
+    vid_inds = (1, 2)
+    annots = _tiny_annots(vid_inds)
+    run = tmp_path / 'broken_run'
+    run.mkdir()
+    box = np.tile([12, 0, 132, 360], (10, 1))
+    write_boxes_file(run / '001_1-3.txt', box)
+    write_boxes_file(run / '001_3-1.txt', box)
+    # vid 2: 1-3 truncated to 7 frames (beyond the +-1 tolerance),
+    #        3-1 missing entirely.
+    write_boxes_file(run / '002_1-3.txt', box[:7])
+
+    report = validate_runs(tmp_path, annots, vid_inds)
+    assert report == {'broken_run': (1, 1)}
+    out = capsys.readouterr().out
+    assert 'Checking runs validity' in out
+    assert '(file errors:1 + frame count errors:1)' in out
+
+    scores = score_run(run, annots, vid_inds)       # must not raise
+    out = capsys.readouterr().out
+    assert 'could not find annotation!' in out
+    assert scores['3-1']['missing_files'] == 1
+    # vid 2 @ 1-3 scored over its 7 available frames, same constant IoU.
+    assert scores['1-3']['missing_files'] == 0
+    assert scores['1-3']['per_video'][2] == pytest.approx(
+        scores['1-3']['per_video'][1])
+
+    evals = evaluate_results_tree(tmp_path, annots, output_file=None,
+                                  vid_inds=vid_inds, verbose=True)
+    assert evals['broken_run']['validity'] == (1, 1)
+    out = capsys.readouterr().out
+    assert 'valid runs::' in out
 
 
 @pytest.mark.golden

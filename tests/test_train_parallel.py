@@ -9,6 +9,13 @@ import jax.numpy as jnp
 #: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
 pytestmark = pytest.mark.slow
 
+#: Narrow UNISAL for structure-level tests: the gradient-mask/BN/sharding
+#: semantics under test are channel-count independent, and the full-width
+#: model's CPU compiles dominated the slow tier (VERDICT r03).
+TINY_UNISAL = dict(cnn_widen_factor=0.25, cnn_last_channel=None,
+                   rnn_input_channels=32, rnn_hidden_channels=32,
+                   smoothing_ksize=11, smoothing_rank=4)
+
 
 
 class TestLosses:
@@ -142,6 +149,86 @@ class TestBNTraining:
             np.asarray(bs['cnn']['features_0']['bn']['mean']), 0)
         assert not np.allclose(np.asarray(
             bs['rnn']['cell']['w_r']['sep_bn']['bn_dhf1k']['mean']), 0)
+
+
+@pytest.mark.mesh
+class TestMeshTraining:
+    """``Trainer.fit(mesh=...)`` wiring: params shard over tp, batches over
+    dp/sp, and the SPMD loss trajectory matches single-device training."""
+
+    def _batches(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (4, 2, 64, 64, 3)).astype(np.float32)
+        sal = np.zeros((4, 2, 64, 64, 1), np.float32)
+        sal[:, :, 20:30, 20:30, 0] = 1.0
+        sal /= sal.sum(axis=(2, 3, 4), keepdims=True)
+        fix = (rng.random((4, 2, 64, 64, 1)) > 0.99).astype(np.float32)
+        return x, sal, fix
+
+    def _run(self, mesh):
+        from retargetvid_tpu.train.trainer import Trainer
+        tr = Trainer(steps_per_epoch=10, model_cfg=TINY_UNISAL)
+        tr.init_state(example_shape=(1, 2, 64, 64, 3), mesh=mesh,
+                      tp_threshold=16)
+        x, sal, fix = self._batches()
+        losses = []
+        for ep in range(2):
+            m = tr.fit_epoch([('DHF1K', x, sal, fix)], epoch=ep,
+                             rng=jax.random.PRNGKey(5))
+            losses.append(m['loss'])
+        return losses, tr
+
+    def test_fit_mesh_matches_single_device(self):
+        from retargetvid_tpu.parallel.mesh import make_mesh
+
+        losses_single, _ = self._run(None)
+        mesh = make_mesh(8, axis_sizes=(2, 2, 2))
+        losses_mesh, tr = self._run(mesh)
+        # Step 1 (pure forward+grad, no optimizer history yet) must match
+        # tightly; the step-2 trajectory tolerates collective reduction-order
+        # noise amplified through the global-norm grad clip (measured 0.2%
+        # relative on this config).
+        np.testing.assert_allclose(losses_mesh[0], losses_single[0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(losses_mesh, losses_single,
+                                   rtol=1e-2, atol=1e-2)
+        assert losses_mesh[1] < losses_mesh[0]
+        # Parameters are really sharded: some leaf carries a tp spec.
+        specs = [getattr(v.sharding, 'spec', ())
+                 for v in jax.tree_util.tree_leaves(tr.state.params)]
+        assert any(len(s) and s[-1] == 'tp' for s in specs), specs
+
+    def test_fit_mesh_smoke(self, tmp_path):
+        """One epoch of the full ``fit(mesh=...)`` loop (train + valid +
+        best-weights selection) on the virtual mesh."""
+        from retargetvid_tpu.parallel.mesh import make_mesh
+        from retargetvid_tpu.train.trainer import Trainer
+
+        x, sal, fix = self._batches()
+
+        def factory():
+            return iter([(x, sal, fix)])
+        factory.n_batches = 1
+
+        tr = Trainer(num_epochs=1, steps_per_epoch=1,
+                     model_cfg=TINY_UNISAL)
+        mesh = make_mesh(8, axis_sizes=(4, 2, 1))
+        score = tr.fit({'DHF1K': {'train': factory, 'valid': factory}},
+                       tmp_path, mesh=mesh, chkpnt_warmup=0,
+                       chkpnt_epochs=1)
+        assert np.isfinite(score)
+        assert (tmp_path / 'chkpnt_epoch0000.pkl').exists()
+        assert (tmp_path / 'all_scalars.json').exists()
+        assert tr.mesh is mesh
+
+    def test_indivisible_batch_raises(self):
+        from retargetvid_tpu.parallel.mesh import make_mesh
+        from retargetvid_tpu.train.trainer import Trainer
+
+        tr = Trainer(steps_per_epoch=10, model_cfg=TINY_UNISAL)
+        tr.mesh = make_mesh(8, axis_sizes=(8, 1, 1))
+        with pytest.raises(ValueError, match='not divisible'):
+            tr._shard_batch(np.zeros((3, 2, 64, 64, 3), np.float32))
 
 
 class TestMesh:
