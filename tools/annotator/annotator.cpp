@@ -13,18 +13,28 @@
 //   a / d        step one frame back / forward
 //   A / D        jump 10 frames
 //   mouse drag   position the crop window on the current frame (marks done)
+//                (on release, frames between the previous annotated frame
+//                and this one are linearly interpolated — the reference's
+//                mouse-up gap fill, frmMain.cs:505-558)
 //   c            copy previous frame's box to this frame
 //   f            fill all remaining frames with the current box
 //   s            save annotations
 //   q / ESC      save and quit
+//
+// Saving confirms before overwriting an existing annotation file and before
+// writing an incomplete one (reference frmMain.cs:280-327); --force skips
+// both prompts (and they auto-accept when stdin is not a terminal).
 //
 // A green "done bar" under the video shows annotated frames (the
 // reference's progress bar equivalent).
 
 #include <opencv2/opencv.hpp>
 
+#include <unistd.h>
+
 #include <cstdio>
 #include <fstream>
+#include <iostream>
 #include <string>
 #include <vector>
 
@@ -50,10 +60,33 @@ cv::Rect clampBox(int cx, int cy, const State& st) {
   return cv::Rect(x, y, st.crop_w, st.crop_h);
 }
 
+// Reference mouse-up gap fill (frmMain.cs:505-558): after placing a box at
+// frame F, positions between the last annotated frame before F and F are
+// linearly interpolated (and marked done).
+void interpolateGap(State* st, int upto) {
+  int prev = -1;
+  for (int i = upto - 1; i >= 0; i--)
+    if (st->done[i]) { prev = i; break; }
+  if (prev < 0 || upto - prev < 2) return;
+  double steps = upto - prev;
+  double sx = st->boxes[prev].x, sy = st->boxes[prev].y;
+  double dx = (st->boxes[upto].x - sx) / steps;
+  double dy = (st->boxes[upto].y - sy) / steps;
+  for (int i = prev + 1; i < upto; i++) {
+    st->boxes[i] = cv::Rect(static_cast<int>(sx + dx * (i - prev) + 0.5),
+                            static_cast<int>(sy + dy * (i - prev) + 0.5),
+                            st->crop_w, st->crop_h);
+    st->done[i] = true;
+  }
+}
+
 void onMouse(int event, int x, int y, int, void* userdata) {
   auto* st = static_cast<State*>(userdata);
   if (event == cv::EVENT_LBUTTONDOWN) st->dragging = true;
-  if (event == cv::EVENT_LBUTTONUP) st->dragging = false;
+  if (event == cv::EVENT_LBUTTONUP && st->dragging) {
+    st->dragging = false;
+    interpolateGap(st, st->frame_idx);
+  }
   if (st->dragging &&
       (event == cv::EVENT_MOUSEMOVE || event == cv::EVENT_LBUTTONDOWN)) {
     st->boxes[st->frame_idx] = clampBox(x, y, *st);
@@ -90,6 +123,36 @@ bool saveAnnotations(const std::string& path, const State& st, bool xy_only) {
   return true;
 }
 
+// Console yes/no; auto-accepts when stdin is not a terminal (scripted use).
+bool confirm(const std::string& question) {
+  if (!isatty(fileno(stdin))) return true;
+  std::printf("%s [y/N] ", question.c_str());
+  std::fflush(stdout);
+  std::string line;
+  if (!std::getline(std::cin, line)) return false;
+  return !line.empty() && (line[0] == 'y' || line[0] == 'Y');
+}
+
+// The reference's save gate (frmMain.cs:280-327): confirm before writing an
+// incomplete annotation file, and before overwriting an existing one.
+bool saveWithConfirm(const std::string& path, const State& st, bool xy_only,
+                     bool force) {
+  if (!force) {
+    bool incomplete = false;
+    for (int i = 0; i < st.n_frames; i++)
+      if (!st.done[i]) { incomplete = true; break; }
+    if (incomplete &&
+        !confirm("You haven't set a crop box for all video frames!\n"
+                 "Save an incomplete annotation file?"))
+      return false;
+    std::ifstream exists(path);
+    if (exists.good() &&
+        !confirm("Annotation file " + path + " already exists!\nOverwrite?"))
+      return false;
+  }
+  return saveAnnotations(path, st, xy_only);
+}
+
 int loadAnnotations(const std::string& path, State* st) {
   std::ifstream in(path);
   if (!in) return 0;
@@ -109,17 +172,28 @@ int loadAnnotations(const std::string& path, State* st) {
 }
 
 int selfcheck() {
-  // Headless round-trip of the annotation format.
+  // Fixed crop-window sizes from the target ratio, both benchmark ratios
+  // (reference frmMain.cs:81-100: 1:3 preserves height, 3:1 preserves
+  // width on the 640x360 DHF1K frame).
   State st;
   st.n_frames = 5;
   st.w = 640;
   st.h = 360;
   cropDims("1:3", st.w, st.h, &st.crop_w, &st.crop_h);
   if (st.crop_w != 120 || st.crop_h != 360) {
-    std::fprintf(stderr, "selfcheck: cropDims wrong (%d,%d)\n", st.crop_w,
-                 st.crop_h);
+    std::fprintf(stderr, "selfcheck: 1:3 cropDims wrong (%d,%d)\n",
+                 st.crop_w, st.crop_h);
     return 1;
   }
+  int cw31 = 0, ch31 = 0;
+  cropDims("3:1", st.w, st.h, &cw31, &ch31);
+  if (cw31 != 640 || ch31 != 213) {
+    std::fprintf(stderr, "selfcheck: 3:1 cropDims wrong (%d,%d)\n", cw31,
+                 ch31);
+    return 1;
+  }
+
+  // Annotation-format round trip.
   st.boxes.assign(st.n_frames, cv::Rect(0, 0, st.crop_w, st.crop_h));
   st.done.assign(st.n_frames, false);
   for (int i = 0; i < st.n_frames; i++)
@@ -138,6 +212,30 @@ int selfcheck() {
     }
   }
   std::remove(tmp);
+
+  // Mouse-up gap interpolation (reference frmMain.cs:505-558): annotate
+  // frame 0 at x=40 and frame 4 at x=80; frames 1-3 interpolate linearly.
+  State st3 = st;
+  st3.boxes.assign(st.n_frames, cv::Rect());
+  st3.done.assign(st.n_frames, false);
+  st3.boxes[0] = clampBox(100, 180, st3);
+  st3.done[0] = true;
+  st3.boxes[4] = clampBox(140, 180, st3);
+  st3.done[4] = true;
+  interpolateGap(&st3, 4);
+  for (int i = 1; i < 4; i++) {
+    int want = st3.boxes[0].x + (st3.boxes[4].x - st3.boxes[0].x) * i / 4;
+    if (!st3.done[i] || st3.boxes[i].x != want) {
+      std::fprintf(stderr, "selfcheck: interpolation wrong at %d (%d != %d)\n",
+                   i, st3.boxes[i].x, want);
+      return 1;
+    }
+  }
+
+  // saveWithConfirm with a non-tty stdin auto-accepts (scripted use).
+  if (!saveWithConfirm(tmp, st3, false, /*force=*/true)) return 1;
+  std::remove(tmp);
+
   std::printf("selfcheck ok\n");
   return 0;
 }
@@ -146,7 +244,7 @@ int selfcheck() {
 
 int main(int argc, char** argv) {
   std::string video, ratio = "1:3", user = "user", out_dir = ".";
-  bool xy_only = false;
+  bool xy_only = false, force = false;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--selfcheck") return selfcheck();
@@ -154,10 +252,11 @@ int main(int argc, char** argv) {
     else if (a == "--user" && i + 1 < argc) user = argv[++i];
     else if (a == "--out" && i + 1 < argc) out_dir = argv[++i];
     else if (a == "--xy") xy_only = true;
+    else if (a == "--force") force = true;
     else if (a == "--help" || a == "-h") {
       std::printf(
           "usage: annotator <video> [--ratio W:H] [--user NAME]\n"
-          "                 [--out DIR] [--xy] [--selfcheck]\n");
+          "                 [--out DIR] [--xy] [--force] [--selfcheck]\n");
       return 0;
     } else {
       video = a;
@@ -268,8 +367,10 @@ int main(int argc, char** argv) {
         st.dirty = true;
         break;
       case 's':
-        if (saveAnnotations(out_path, st, xy_only))
+        if (saveWithConfirm(out_path, st, xy_only, force)) {
           std::printf("saved %s\n", out_path.c_str());
+          st.dirty = false;
+        }
         break;
       default: break;
     }
@@ -278,7 +379,7 @@ int main(int argc, char** argv) {
     if (st.playing && st.frame_idx < st.n_frames - 1) st.frame_idx++;
   }
 
-  if (st.dirty && saveAnnotations(out_path, st, xy_only))
+  if (st.dirty && saveWithConfirm(out_path, st, xy_only, force))
     std::printf("saved %s\n", out_path.c_str());
   return 0;
 }
