@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import statistics
 import sys
@@ -704,9 +705,11 @@ def cmd_train(args):
     from retargetvid_tpu.train.trainer import Trainer
 
     sources = tuple(args.sources.split(','))
+    model_cfg = json.loads(args.model_cfg) if args.model_cfg else None
     trainer = Trainer(num_epochs=args.num_epochs, lr=args.lr,
                       data_sources=sources,
-                      train_cnn_after=args.train_cnn_after)
+                      train_cnn_after=args.train_cnn_after,
+                      model_cfg=model_cfg)
     loaders = _build_dataloaders(
         sources, batch_size=args.batch_size,
         batches_per_epoch=args.batches_per_epoch,
@@ -724,10 +727,19 @@ def cmd_train(args):
 
 
 def cmd_score(args):
-    """Score a trained model (reference ``run.py score_model``)."""
+    """Score a trained model (reference ``run.py score_model``).
+
+    The trainer (including ``model_cfg``) restores from the run's saved
+    ``Trainer.json`` — the reference's KwConfig round trip
+    (``unisal/utils.py:28-44``, ``train.py Trainer.init_from_cfg_dir``) —
+    so scoring always rebuilds the exact trained architecture.
+    """
     from retargetvid_tpu.train.trainer import Trainer
 
-    trainer = Trainer()
+    if (Path(args.train_dir) / 'Trainer.json').exists():
+        trainer = Trainer.init_from_cfg_dir(args.train_dir)
+    else:
+        trainer = Trainer()
     chk = sorted(Path(args.train_dir).glob('chkpnt_epoch*.pkl'))
     best = Path(args.train_dir) / 'weights_best.pkl'
     if best.exists():
@@ -860,6 +872,9 @@ def main(argv=None):
     t.add_argument('--chkpnt-warmup', type=int, default=3)
     t.add_argument('--chkpnt-epochs', type=int, default=2)
     t.add_argument('--fine-tune-mit', action='store_true')
+    t.add_argument('--model-cfg', default=None,
+                   help='JSON dict of UNISAL constructor overrides '
+                        '(persisted in Trainer.json and restored by score)')
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser('score', help='score a trained model '

@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["smooth_predictions", "scenes_from_predictions",
-           "shots_from_predictions", "assert_segmentation"]
+           "shots_from_predictions", "assert_segmentation",
+           "draw_video_with_predictions"]
 
 
 def smooth_predictions(predictions: np.ndarray, window: int = 5) -> np.ndarray:
@@ -57,6 +58,53 @@ def shots_from_predictions(predictions: np.ndarray, threshold: float = 0.5,
         merged[1][0] = merged[0][0]
         merged = merged[1:]
     return np.array(merged, dtype=np.int32)
+
+
+def draw_video_with_predictions(frames: np.ndarray,
+                                predictions: np.ndarray,
+                                threshold: float = 0.1,
+                                width: int = 20) -> np.ndarray:
+    """Debug scene-grid image (reference ``transnet_utils.py:20-49``).
+
+    Tiles the (down-scaled) frames into a grid ``width`` tiles wide and
+    draws, on each tile's right edge, a vertical probability bar — green
+    when the transition probability exceeds ``threshold``, red otherwise,
+    length proportional to the probability and centered vertically — plus a
+    black backing band and a white separator on each row's top edge.
+
+    Host-side numpy (no PIL / device work); returns a (H, W, 3) uint8 image
+    ready for ``cv2.imwrite``/``plt.imsave``.
+    """
+    frames = np.asarray(frames, np.uint8)
+    predictions = np.asarray(predictions, np.float32)
+    n, ih, iw, ic = frames.shape
+    assert ic == 3 and len(predictions) == n
+    if n % width:
+        pad = width - n % width
+        frames = np.concatenate(
+            [frames, np.zeros((pad, ih, iw, ic), np.uint8)])
+        predictions = np.concatenate(
+            [predictions, np.zeros(pad, np.float32)])
+        n += pad
+    height = n // width
+
+    grid = (frames.reshape(height, width, ih, iw, ic)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(height * ih, width * iw, ic).copy())
+
+    for i, p in enumerate(predictions):
+        h, w = divmod(i, width)
+        y0, x0 = h * ih, w * iw
+        # Black backing band at the tile's right edge (ref line width 4
+        # centered on x = iw-3), then the probability bar (width 2).
+        grid[y0:y0 + ih, x0 + iw - 5:x0 + iw - 1] = 0
+        half = int(round(ih / 2.0 * float(np.clip(p, 0.0, 1.0))))
+        color = (0, 255, 0) if p > threshold else (255, 0, 0)
+        grid[y0 + ih // 2 - half:y0 + ih // 2 + half,
+             x0 + iw - 4:x0 + iw - 2] = color
+        # White separator on the row's top edge.
+        grid[y0, x0:x0 + iw] = 255
+    return grid
 
 
 def assert_segmentation(scenes: np.ndarray, n_frames: int,

@@ -74,6 +74,32 @@ class TestTransnetPost:
         assert s[10] == pytest.approx(0.2)
         assert s.sum() == pytest.approx(1.0)
 
+    def test_draw_video_with_predictions(self):
+        """Debug scene-grid (reference transnet_utils.py:20-49): tiling,
+        padding to the grid width, bar colors by threshold, separators."""
+        from retargetvid_tpu.models.transnet_post import (
+            draw_video_with_predictions,
+        )
+        ih, iw, n = 27, 48, 45            # pads to 60 = 3 rows of 20
+        frames = np.full((n, ih, iw, 3), 128, np.uint8)
+        preds = np.zeros(n, np.float32)
+        preds[7] = 0.9                    # above threshold -> green bar
+        preds[8] = 0.05                   # below threshold -> red bar
+        img = draw_video_with_predictions(frames, preds, threshold=0.1)
+        assert img.shape == (3 * ih, 20 * iw, 3)
+        assert img.dtype == np.uint8
+        # Tile 7 (row 0): green bar centered vertically at its right edge.
+        x = 7 * iw + iw - 3
+        assert tuple(img[ih // 2, x]) == (0, 255, 0)
+        # Tile 8: red bar (length prop. to 0.05 -> ~1 px around center).
+        x = 8 * iw + iw - 3
+        assert tuple(img[ih // 2, x]) == (255, 0, 0)
+        # Black backing band where the bar doesn't reach.
+        assert tuple(img[1, x]) == (0, 0, 0)
+        # White separator along each row's top edge; pad tiles are black.
+        assert (img[0, :iw - 5] == 255).all()
+        assert (img[2 * ih + 1, 19 * iw:19 * iw + iw - 5] == 0).all()
+
 
 class TestKwConfig:
     def test_roundtrip(self, tmp_path):
@@ -266,7 +292,8 @@ class TestDynamicVideoPredictor:
         rng = np.random.default_rng(0)
         t, h, w = 9, 64, 64
         frames = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
-        pred = SaliencyPredictor(model=UNISAL())
+        from conftest import TINY_UNISAL_CFG
+        pred = SaliencyPredictor(model=UNISAL(**TINY_UNISAL_CFG))
         maps = pred.predict_video(frames, frame_modulo=3, seq_len=2)
         assert maps.shape == (t, h, w)
         assert maps.dtype == np.uint8
@@ -299,7 +326,8 @@ class TestDynamicVideoPredictor:
 
         rng = np.random.default_rng(1)
         frames = rng.integers(0, 255, (6, 64, 64, 3)).astype(np.uint8)
-        pred = SaliencyPredictor(model=UNISAL())
+        from conftest import TINY_UNISAL_CFG
+        pred = SaliencyPredictor(model=UNISAL(**TINY_UNISAL_CFG))
         maps = pred.predict_video(frames, frame_modulo=2, seq_len=3,
                                   smooth_method='med3')
         assert maps.shape == (6, 64, 64)

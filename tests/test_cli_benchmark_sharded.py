@@ -3,8 +3,9 @@
 import numpy as np
 import pytest
 
-#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
-pytestmark = pytest.mark.slow
+#: 8-virtual-device SPMD compiles: the heaviest tier, deselected by the
+#: default run (pytest.ini addopts); run with -m mesh (or -m "").
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 cv2 = pytest.importorskip("cv2")
 

@@ -39,10 +39,18 @@ def test_cli_train_then_score(tmp_path, monkeypatch):
     _saliency_tree(data)
     monkeypatch.setenv('DHF1K_DATA_DIR', str(data))
     train_dir = tmp_path / 'run'
+    import json as _json
+
+    from conftest import TINY_UNISAL_CFG
     cli.main(['train', '--train-dir', str(train_dir), '--sources', 'DHF1K',
               '--num-epochs', '1', '--batch-size', '1', '--seq-len', '2',
               '--batches-per-epoch', '2', '--valid-batches', '1',
-              '--chkpnt-warmup', '0', '--chkpnt-epochs', '1'])
+              '--chkpnt-warmup', '0', '--chkpnt-epochs', '1',
+              '--model-cfg', _json.dumps(TINY_UNISAL_CFG)])
+    # score must restore the tiny architecture from Trainer.json (the
+    # reference's KwConfig round trip) or the weights would shape-mismatch.
+    cfg = _json.loads((train_dir / 'Trainer.json').read_text())
+    assert cfg['model_cfg'] == TINY_UNISAL_CFG
     assert (train_dir / 'all_scalars.json').exists()
     assert list(train_dir.glob('chkpnt_epoch*.pkl'))
     cli.main(['score', '--train-dir', str(train_dir), '--source', 'DHF1K',

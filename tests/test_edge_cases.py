@@ -97,7 +97,15 @@ def test_fused_program_many_segments():
     cp = sc_init_crop_params()
     cp['out_ratio'] = '1:3'
     dest = calc_dest_size(w * 4, h * 4, '1:3')
-    prog = FusedClipProgram(dtype=jnp.float32)
+    from conftest import TINY_UNISAL_CFG
+    from retargetvid_tpu.models.unisal import UNISAL
+    import jax
+    un_model = UNISAL(**TINY_UNISAL_CFG)
+    un_vars = un_model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
+                            static=True)
+    prog = FusedClipProgram(variables=un_vars, model=un_model,
+                            dtype=jnp.float32)
     out = prog.run(jnp.asarray(frames), selected, selected, seg, seg_sel,
                    cp, fps=30.0, h_orig=h * 4, w_orig=w * 4,
                    w_final=dest['w_final'], h_final=dest['h_final'],

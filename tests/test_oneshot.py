@@ -125,7 +125,8 @@ def test_oneshot_program_matches_two_dispatch():
     # realistic every-skip regime.
     tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
     tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
-    un_model = UNISAL()
+    from conftest import TINY_UNISAL_CFG
+    un_model = UNISAL(**TINY_UNISAL_CFG)
     x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     un_vars = un_model.init(jax.random.PRNGKey(1), x0, static=True)
 
@@ -164,7 +165,10 @@ def test_oneshot_pipelined_dispatch_matches_run():
     from retargetvid_tpu.ops.boxes import calc_dest_size
     from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
 
-    fc, h, w = 48, 72, 128
+    # Same shapes/model as test_oneshot_program_matches_two_dispatch so the
+    # compiled one-shot program is shared within the session (VERDICT r03:
+    # distinct signatures each pay a full cold compile on the 1-core host).
+    fc, h, w = 60, 90, 160
     cp = sc_init_crop_params()
     cp['out_ratio'] = '1:3'
     dest = calc_dest_size(w, h, cp['out_ratio'])
@@ -174,7 +178,14 @@ def test_oneshot_pipelined_dispatch_matches_run():
                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
     tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
     tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
-    program = OneShotClipProgram(tn_model, tn_params, dtype=jnp.float32)
+    from conftest import TINY_UNISAL_CFG
+    from retargetvid_tpu.models.unisal import UNISAL
+    un_model = UNISAL(**TINY_UNISAL_CFG)
+    un_vars = un_model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
+                            static=True)
+    program = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
+                                 model=un_model, dtype=jnp.float32)
 
     rng = np.random.default_rng(7)
     clips = [jnp.asarray(rng.integers(0, 255, (fc, h, w, 3)).astype(np.uint8))

@@ -43,7 +43,10 @@ def models():
     def transnet_fn(frames):
         return predict_video_windows(apply_fn, frames)
 
-    predictor = SaliencyPredictor(chunk=8)
+    from conftest import TINY_UNISAL_CFG
+    from retargetvid_tpu.models.unisal import UNISAL
+    un_model = UNISAL(**TINY_UNISAL_CFG)
+    predictor = SaliencyPredictor(model=un_model, chunk=8)
     return transnet_fn, predictor.predict
 
 

@@ -19,7 +19,8 @@ def test_fused_matches_separate():
     from retargetvid_tpu.pipeline.geometry import run_geometry
     from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
 
-    model = UNISAL()
+    from conftest import TINY_UNISAL_CFG
+    model = UNISAL(**TINY_UNISAL_CFG)
     x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(11), x0, static=True)
 

@@ -6,8 +6,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
-pytestmark = pytest.mark.slow
+#: 8-virtual-device SPMD compiles: the heaviest tier, deselected by the
+#: default run (pytest.ini addopts); run with -m mesh (or -m "").
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 
@@ -19,7 +20,8 @@ def test_sharded_clip_batch_matches_single():
     from retargetvid_tpu.parallel.runner import ShardedClipRunner
     from retargetvid_tpu.pipeline.fused import FusedClipProgram
 
-    model = UNISAL()
+    from conftest import TINY_UNISAL_CFG
+    model = UNISAL(**TINY_UNISAL_CFG)
     x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(5), x0, static=True)
 

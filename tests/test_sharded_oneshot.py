@@ -13,8 +13,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-#: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
-pytestmark = pytest.mark.slow
+#: 8-virtual-device SPMD compiles: the heaviest tier, deselected by the
+#: default run (pytest.ini addopts); run with -m mesh (or -m "").
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
 
 
 def _clip(rng, fc, h, w, phase):
@@ -51,7 +52,8 @@ def test_sharded_oneshot_matches_single():
                               jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
     # Bias probs ~ 0 (random weights otherwise fire a cut on every frame).
     tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
-    un_model = UNISAL()
+    from conftest import TINY_UNISAL_CFG
+    un_model = UNISAL(**TINY_UNISAL_CFG)
     x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
     un_vars = un_model.init(jax.random.PRNGKey(1), x0, static=True)
 

@@ -124,7 +124,9 @@ def _synthetic_batches(n, t, hw=64, seed=0):
 def test_trainer_fit_multi_source_best_weights(tmp_path):
     from retargetvid_tpu.train.trainer import Trainer
 
-    trainer = Trainer(num_epochs=2, steps_per_epoch=4, train_cnn_after=2)
+    from conftest import TINY_UNISAL_CFG
+    trainer = Trainer(num_epochs=2, steps_per_epoch=4, train_cnn_after=2,
+                      model_cfg=TINY_UNISAL_CFG)
     trainer.epoch = 0
     trainer.best_val_score = None
     trainer.is_best = False
@@ -160,7 +162,9 @@ def test_trainer_fit_multi_source_best_weights(tmp_path):
 def test_fine_tune_mit_runs_and_tracks_best(tmp_path):
     from retargetvid_tpu.train.trainer import Trainer
 
-    trainer = Trainer(num_epochs=1, steps_per_epoch=2)
+    from conftest import TINY_UNISAL_CFG
+    trainer = Trainer(num_epochs=1, steps_per_epoch=2,
+                      model_cfg=TINY_UNISAL_CFG)
     trainer.epoch = 0
     trainer.best_val_score = None
     trainer.history = []

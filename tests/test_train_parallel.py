@@ -9,12 +9,7 @@ import jax.numpy as jnp
 #: Compile-heavy on CPU; excluded from the fast tier (pytest -m "not slow").
 pytestmark = pytest.mark.slow
 
-#: Narrow UNISAL for structure-level tests: the gradient-mask/BN/sharding
-#: semantics under test are channel-count independent, and the full-width
-#: model's CPU compiles dominated the slow tier (VERDICT r03).
-TINY_UNISAL = dict(cnn_widen_factor=0.25, cnn_last_channel=None,
-                   rnn_input_channels=32, rnn_hidden_channels=32,
-                   smoothing_ksize=11, smoothing_rank=4)
+from conftest import TINY_UNISAL_CFG as TINY_UNISAL
 
 
 
@@ -81,7 +76,7 @@ class TestTrainStep:
             make_train_step,
         )
 
-        model = UNISAL()
+        model = UNISAL(**TINY_UNISAL)
         x0 = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x0, static=False)
         params = variables['params']
@@ -129,7 +124,7 @@ class TestBNTraining:
         carried scan (reference per-timestep updates)."""
         from retargetvid_tpu.train.trainer import Trainer
 
-        tr = Trainer(steps_per_epoch=10)
+        tr = Trainer(steps_per_epoch=10, model_cfg=TINY_UNISAL)
         tr.init_state(example_shape=(1, 2, 64, 64, 3))
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(0, 1, (2, 2, 64, 64, 3))
@@ -244,24 +239,26 @@ class TestMesh:
         assert dict(mesh_mp.shape) == {'dp': 2, 'sp': 2, 'tp': 2}
 
     @pytest.mark.slow
+    @pytest.mark.mesh
     def test_sharded_saliency_matches_single(self):
         from retargetvid_tpu.models.unisal import UNISAL
         from retargetvid_tpu.parallel.mesh import make_mesh
         from retargetvid_tpu.parallel.runner import ShardedSaliency
         from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
 
-        model = UNISAL()
+        model = UNISAL(**TINY_UNISAL)
         x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(3), x0, static=True)
 
         rng = np.random.default_rng(5)
         frames = rng.integers(0, 255, (8, 140, 250, 3)).astype(np.uint8)
 
-        single = SaliencyPredictor(variables=variables, chunk=8)
+        single = SaliencyPredictor(variables=variables, model=model, chunk=8)
         ref = single.predict(frames)
 
         mesh = make_mesh(8, axis_sizes=(8, 1, 1))
-        sharded = ShardedSaliency(mesh, variables=variables, per_chip=1)
+        sharded = ShardedSaliency(mesh, variables=variables, model=model,
+                                  per_chip=1)
         out = sharded.predict(frames)
         # Same program, different partitioning: results match to quantization.
         assert (np.abs(out.astype(int) - ref.astype(int)) <= 1).mean() > 0.999

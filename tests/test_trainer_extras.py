@@ -12,7 +12,8 @@ pytestmark = pytest.mark.slow
 
 def test_copy_code_and_scalars(tmp_path):
     from retargetvid_tpu.train.trainer import Trainer
-    tr = Trainer(steps_per_epoch=5)
+    from conftest import TINY_UNISAL_CFG
+    tr = Trainer(steps_per_epoch=5, model_cfg=TINY_UNISAL_CFG)
     dst = tr.copy_code(tmp_path)
     assert (dst / 'config.py').is_file()
     assert (dst / 'models' / 'unisal.py').is_file()
@@ -32,7 +33,8 @@ def test_run_inference_video_and_scores():
 
     from retargetvid_tpu.train.trainer import Trainer
 
-    trainer = Trainer(steps_per_epoch=2)
+    from conftest import TINY_UNISAL_CFG
+    trainer = Trainer(steps_per_epoch=2, model_cfg=TINY_UNISAL_CFG)
     trainer.init_state(example_shape=(1, 2, 64, 64, 3))
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (6, 64, 64, 3)).astype(np.uint8)
