@@ -145,7 +145,12 @@ def main():
         # unchanged and the selected-frame load matches the 2-dispatch run.
         from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
         tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
-        oneshot = OneShotClipProgram(tn_model, tn_params, dtype=jnp.bfloat16)
+        # BENCH_TN_FULLSEQ=1: one whole-sequence TransNet forward instead of
+        # the 100/50 window plan (~2.1x less shot-detection compute;
+        # tpu_transnet_fullseq opt-in — A/B datapoint in docs/PERF.md).
+        oneshot = OneShotClipProgram(
+            tn_model, tn_params, dtype=jnp.bfloat16,
+            tn_fullseq=bool(os.environ.get('BENCH_TN_FULLSEQ')))
 
         def run_once(frames_dev):
             out = oneshot.run(frames_dev, cp, fps=fps,

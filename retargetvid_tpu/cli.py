@@ -311,7 +311,9 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
     from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
 
     tn_model, tn_params, variables = _load_oneshot_models(args)
-    program = OneShotClipProgram(tn_model, tn_params, variables=variables)
+    program = OneShotClipProgram(
+        tn_model, tn_params, variables=variables,
+        tn_fullseq=crop_params.get('tpu_transnet_fullseq', False))
 
     ars = args.ratios.split(',')
     for ar in ars:
@@ -402,7 +404,9 @@ def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,
     print(f' sharded one-shot benchmark over mesh {dict(mesh.shape)}')
 
     tn_model, tn_params, variables = _load_oneshot_models(args)
-    runner = ShardedOneShot(mesh, tn_model, tn_params, variables=variables)
+    runner = ShardedOneShot(
+        mesh, tn_model, tn_params, variables=variables,
+        tn_fullseq=crop_params.get('tpu_transnet_fullseq', False))
     ars = args.ratios.split(',')
 
     def read_one(vid_path):

@@ -234,6 +234,8 @@ def evaluate_results_tree(results_dir, annots,
     results_dir = Path(results_dir)
     runs = sorted(p.name for p in results_dir.iterdir() if p.is_dir())
     validity = validate_runs(results_dir, annots, vid_inds, verbose=verbose)
+    if verbose:
+        print(' Processing runs...')
     evals = {}
     lines = []
     cols = ('Worst', 'Best', 'Mean', 'ttm', 'tta', 'tcm', 'tca',
@@ -241,7 +243,10 @@ def evaluate_results_tree(results_dir, annots,
     header = '%-36s,' % 'Method' + ','.join(
         ['%-6s' % c for c in cols] * 2 + ['%-6s' % 'mf'])
     lines.append(header)
-    for run in runs:
+    for i_run, run in enumerate(runs):
+        if verbose:
+            # Reference progress ticker (retargetvid_eval.py:138).
+            print(' %3d/%3d: %s ' % (i_run + 1, len(runs), run))
         scores = score_run(results_dir / run, annots, vid_inds)
         stats = parse_info_stats(results_dir / run, vid_inds)
         evals[run] = scores

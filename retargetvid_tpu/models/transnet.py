@@ -138,16 +138,29 @@ class TransNetPredictor:
     middle-[25:75) trim run inside one jit; model parameters are jit
     ARGUMENTS, not closed-over constants, so lowering never round-trips them
     through the host.
+
+    ``fullseq=True`` (the ``tpu_transnet_fullseq`` config knob) drops the
+    window plan entirely: the network is fully convolutional in time (the
+    DDCNN temporal taps are zero-filled shifts = SAME Conv3D), so ONE
+    forward over the edge-padded whole clip yields every frame's
+    probability while the 100/50 overlap scheme computes each frame ~2.1x
+    (plus window padding).  NOT bit-identical to the reference: its
+    windows zero-truncate the temporal receptive field (~±48 frames) at
+    window edges, which full-sequence evaluation removes; with a window
+    spanning the whole clip the two are exactly equal
+    (tests/test_models_transnet.py).  Default stays the reference plan.
     """
 
     def __init__(self, model: "TransNetV1", params, *, window: int = 100,
-                 stride: int = 50, keep: tuple = (25, 75)):
+                 stride: int = 50, keep: tuple = (25, 75),
+                 fullseq: bool = False):
         assert window % stride == 0
         self.model = model
         self.params = params
         self.window = window
         self.stride = stride
         self.keep = keep
+        self.fullseq = fullseq
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, n_pad: int):
@@ -157,9 +170,17 @@ class TransNetPredictor:
         length = k * stride
         n_w = k - m + 1
         model = self.model
+        fullseq = self.fullseq
 
         @jax.jit
         def fn(params, frames, n):
+            if fullseq:
+                # Edge-pad keep[0] frames each side (the reference's clip-end
+                # padding), one whole-sequence forward, trim.
+                src = jnp.clip(jnp.arange(n_pad + 2 * keep[0]) - keep[0],
+                               0, n - 1)
+                probs = model.apply(params, frames[src][None])[0]
+                return probs[keep[0]:keep[0] + n_pad]
             # Edge padding via clamped row gather (contiguous rows).
             src = jnp.clip(jnp.arange(length) - keep[0], 0, n - 1)
             padded = frames[src]

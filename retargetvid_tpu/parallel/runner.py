@@ -175,7 +175,7 @@ class ShardedOneShot:
                  model: Optional[UNISAL] = None, source: str = 'SALICON',
                  dtype=jnp.bfloat16, rng_seed: int = 0, t_border: int = -1,
                  s_pad: int = 8, window: int = 100, stride: int = 50,
-                 keep: tuple = (25, 75)):
+                 keep: tuple = (25, 75), tn_fullseq: bool = False):
         self.mesh = mesh
         self.tn_model = tn_model
         self.model = model or UNISAL()
@@ -186,6 +186,7 @@ class ShardedOneShot:
         self.window = window
         self.stride = stride
         self.keep = keep
+        self.tn_fullseq = tn_fullseq
         if variables is None:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
@@ -210,7 +211,8 @@ class ShardedOneShot:
             sal_hw=sal_hw, net_hw=net_hw, t_out=bucket_size(fc_cap),
             t_sel_pad=t_sel_pad, s_pad=self.s_pad, skip=skip, fps=fps,
             h_orig=h_orig, w_orig=w_orig, w_final=w_final, h_final=h_final,
-            window=self.window, stride=self.stride, keep=self.keep)
+            window=self.window, stride=self.stride, keep=self.keep,
+            tn_fullseq=self.tn_fullseq)
 
         spec_holder = {}
 

@@ -125,7 +125,7 @@ def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
                       t_out: int, t_sel_pad: int, s_pad: int, skip: int,
                       fps: float, h_orig: int, w_orig: int, w_final: int,
                       h_final: int, window: int = 100, stride: int = 50,
-                      keep: tuple = (25, 75)):
+                      keep: tuple = (25, 75), tn_fullseq: bool = False):
     """Traceable whole-clip body: (variables, tn_params, raw, n) -> dict.
 
     ``fc`` is the static frame capacity; ``n`` the clip's traced live
@@ -154,13 +154,23 @@ def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
         tn = to_u8(resize(raw, (INPUT_HEIGHT, INPUT_WIDTH), 'linear'))
         sal = to_u8(resize(raw, (sal_h, sal_w), 'linear'))
 
-        # TransNet window plan (edge padding via clamped row gather).
-        src = jnp.clip(jnp.arange(length) - keep[0], 0, n - 1)
-        blocks = tn[src].reshape(kk, stride, INPUT_HEIGHT, INPUT_WIDTH, 3)
-        windows = jnp.concatenate(
-            [blocks[off:off + n_w] for off in range(m)], axis=1)
-        probs = tn_model.apply(tn_params, windows)
-        probs = probs[:, keep[0]:keep[1]].reshape(-1)[:fc]
+        if tn_fullseq:
+            # One whole-sequence forward (the net is fully convolutional in
+            # time — TransNetPredictor docstring): ~2.1x less TransNet
+            # compute than the overlapping window plan, not bit-identical
+            # at window edges (tpu_transnet_fullseq opt-in).
+            src = jnp.clip(jnp.arange(fc + 2 * keep[0]) - keep[0], 0, n - 1)
+            probs = tn_model.apply(tn_params, tn[src][None])[0]
+            probs = probs[keep[0]:keep[0] + fc]
+        else:
+            # TransNet window plan (edge padding via clamped row gather).
+            src = jnp.clip(jnp.arange(length) - keep[0], 0, n - 1)
+            blocks = tn[src].reshape(kk, stride, INPUT_HEIGHT, INPUT_WIDTH,
+                                     3)
+            windows = jnp.concatenate(
+                [blocks[off:off + n_w] for off in range(m)], axis=1)
+            probs = tn_model.apply(tn_params, windows)
+            probs = probs[:, keep[0]:keep[1]].reshape(-1)[:fc]
         probs = jnp.where(jnp.arange(fc) < n, probs, 0.0)
 
         sel_mask_f, sel_idx, fc_sel, ti = sample_frames_device(
@@ -200,7 +210,7 @@ class OneShotClipProgram:
                  model: Optional[UNISAL] = None, source: str = 'SALICON',
                  dtype=jnp.bfloat16, rng_seed: int = 0, t_border: int = -1,
                  s_pad: int = 8, window: int = 100, stride: int = 50,
-                 keep: tuple = (25, 75)):
+                 keep: tuple = (25, 75), tn_fullseq: bool = False):
         self.tn_model = tn_model
         self.tn_params = tn_params
         self.model = model or UNISAL()
@@ -211,6 +221,7 @@ class OneShotClipProgram:
         self.window = window
         self.stride = stride
         self.keep = keep
+        self.tn_fullseq = tn_fullseq
         if variables is None:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
@@ -243,7 +254,7 @@ class OneShotClipProgram:
             net_hw=net_hw, t_out=t_out, t_sel_pad=t_sel_pad, s_pad=s_pad,
             skip=skip, fps=fps, h_orig=h_orig, w_orig=w_orig,
             w_final=w_final, h_final=h_final, window=window, stride=stride,
-            keep=keep)
+            keep=keep, tn_fullseq=self.tn_fullseq)
 
         spec_holder = {}
 

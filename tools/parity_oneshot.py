@@ -73,7 +73,8 @@ def _real_unisal_handler(saliency_fn) -> types.ModuleType:
     return mod
 
 
-def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0):
+def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0,
+                 tn_fullseq: bool = False):
     """(transnet_fn, saliency_fn, oneshot program) sharing ONE set of
     randomly-initialized weights.
 
@@ -123,7 +124,8 @@ def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0):
     transnet_fn = TransNetPredictor(tn_model, tn_params)
     predictor = SaliencyPredictor(variables=un_vars, model=un_model)
     program = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
-                                 model=un_model, dtype=jnp.float32)
+                                 model=un_model, dtype=jnp.float32,
+                                 tn_fullseq=tn_fullseq)
     return transnet_fn, predictor.predict, program
 
 
@@ -345,6 +347,12 @@ def main(argv=None):
                         default='both')
     parser.add_argument('--ratios', default='1:3,3:1')
     parser.add_argument('--cases', default=DEFAULT_CASES)
+    parser.add_argument('--fullseq', action='store_true',
+                        help='price the tpu_transnet_fullseq mode: OUR '
+                             'program runs the whole-sequence TransNet '
+                             'forward while the reference chain keeps its '
+                             'windowed plan — the IoU gap is the '
+                             'END-TO-END cost of the semantic difference')
     parser.add_argument('--tn-bias', type=float, default=None,
                         help='final-dense bias shift [b,-b] taming the '
                              'random TransNet (default: auto-calibrated, '
@@ -371,7 +379,8 @@ def main(argv=None):
         transnet_fn, _, _ = build_models()
         tn_bias = calibrate_tn_bias(transnet_fn, corpus)
     print(f'tn_bias = {tn_bias:.3f}', flush=True)
-    transnet_fn, saliency_fn, program = build_models(tn_bias=tn_bias)
+    transnet_fn, saliency_fn, program = build_models(
+        tn_bias=tn_bias, tn_fullseq=args.fullseq)
     ref = pf.load_reference_pipeline()
     ref['transnet_model'] = _RealTransNet(transnet_fn)
     ref['unisal_handler'] = _real_unisal_handler(saliency_fn)
