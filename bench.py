@@ -10,8 +10,11 @@ decode is excluded (no video assets in this environment); weights are random
 Default path: the ONE-dispatch whole-clip program (``pipeline.oneshot`` —
 sampling and scene extraction run on device as scans, removing two host
 round trips and the probs fetch per clip; equivalence vs the 2-dispatch
-path is exact, ``tests/test_oneshot.py``).  ``BENCH_ONESHOT=0`` times the
-2-dispatch path instead.
+path is exact, ``tests/test_oneshot.py``) with the full-sequence TransNet
+plan (one whole-clip forward; reproduces the reference window plan's
+end-to-end decisions on every parity row, docs/PARITY.md).
+``BENCH_ONESHOT=0`` times the 2-dispatch path, ``BENCH_TN_FULLSEQ=0`` the
+windowed TransNet plan (the pipeline CLI default).
 
 Baseline: the reference reports t = exec_time/duration = 19% at 1:3 with the
 ICIP settings on the authors' GPU PC (reference README.md:59; BASELINE.md).
@@ -120,6 +123,16 @@ def main():
     if batch == 1:
         warm_dev = warm_dev[0]
 
+    # TransNet plan: ONE whole-sequence forward by default (~2.1x less
+    # shot-detection compute than the reference's overlapping 100/50 window
+    # plan; docs/PERF.md A/B).  The fast plan reproduces the windowed plan's
+    # end-to-end decisions on every parity row measured (docs/PARITY.md,
+    # "Full-sequence TransNet plan"), so the bench runs it as the flagship
+    # configuration; BENCH_TN_FULLSEQ=0 times the replicate-by-default
+    # windowed plan instead (the pipeline CLI default).  The JSON records
+    # which plan ran (`tn_plan`).
+    tn_fullseq = os.environ.get('BENCH_TN_FULLSEQ', '1') != '0'
+
     if batch > 1:
         # B clips per dispatch on the ONE chip: the vmapped whole-clip
         # program (parallel.runner.ShardedOneShot on a 1-device mesh, so
@@ -129,7 +142,7 @@ def main():
         from retargetvid_tpu.parallel.runner import ShardedOneShot
         tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
         sharded = ShardedOneShot(make_mesh(1), tn_model, tn_params,
-                                 dtype=jnp.bfloat16)
+                                 dtype=jnp.bfloat16, tn_fullseq=tn_fullseq)
 
         def run_once(clips):
             outs = sharded.run_batch(clips, cp, fps=fps,
@@ -145,12 +158,8 @@ def main():
         # unchanged and the selected-frame load matches the 2-dispatch run.
         from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
         tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
-        # BENCH_TN_FULLSEQ=1: one whole-sequence TransNet forward instead of
-        # the 100/50 window plan (~2.1x less shot-detection compute;
-        # tpu_transnet_fullseq opt-in — A/B datapoint in docs/PERF.md).
         oneshot = OneShotClipProgram(
-            tn_model, tn_params, dtype=jnp.bfloat16,
-            tn_fullseq=bool(os.environ.get('BENCH_TN_FULLSEQ')))
+            tn_model, tn_params, dtype=jnp.bfloat16, tn_fullseq=tn_fullseq)
 
         def run_once(frames_dev):
             out = oneshot.run(frames_dev, cp, fps=fps,
@@ -165,6 +174,8 @@ def main():
 
         collect_once = oneshot.collect
     else:
+        tn_fullseq = False  # the 2-dispatch path times the windowed predictor
+
         def run_once(frames_dev):
             # Ingest resizes then shot detection as TWO programs: measured
             # faster than the fused IngestShotProgram (~15 ms/clip) because
@@ -262,6 +273,7 @@ def main():
         'vs_baseline': round(headline / REFERENCE_FPS, 2),
         'protocol': 'per_clip_median' if per_clip_fps is not None
                     else 'pipelined',
+        'tn_plan': 'fullseq' if tn_fullseq else 'windowed',
     }
     if per_clip_fps is not None:
         result['per_clip_fps'] = round(per_clip_fps, 2)
