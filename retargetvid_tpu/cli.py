@@ -315,6 +315,56 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
         tn_model, tn_params, variables=variables,
         tn_fullseq=crop_params.get('tpu_transnet_fullseq', False))
 
+    def _finish(pend):
+        """Collect a dispatched clip, write its outputs, eval inline."""
+        (ticket, cp, vid_path, vid_fn, ar, txt, info_path, meta, dest,
+         fc, t_read, t_disp) = pend
+        fps, w, h = meta['fps'], meta['width'], meta['height']
+        boxes = None
+        if ticket is not None:
+            t0 = _time.perf_counter()
+            try:
+                out = program.collect(ticket)
+                boxes = out['boxes']
+            except ValueError as exc:
+                print(f' oneshot fallback: {exc}')
+            # Host-attributed device time: the dispatch call plus the
+            # collect wait.  Wall between the two belongs to the NEXT
+            # clip's decode (that overlap is the point of the pipeline),
+            # so dispatch->collect wall would double-count it.
+            t_dev = t_disp + (_time.perf_counter() - t0)
+        if boxes is None:
+            # Streaming fallback: the sequential reference path.
+            from retargetvid_tpu.pipeline.crop import smart_vid_crop
+            transnet_fn, saliency_fn = _build_models(args)
+            vd, res = smart_vid_crop(vid_path, cp, save_vid=False,
+                                     transnet_fn=transnet_fn,
+                                     saliency_fn=saliency_fn)
+            boxes = np.asarray(vd['bbs'], int)
+            with open(info_path, 'w') as fp:
+                for k, v in res.items():
+                    fp.write(f'{k}:{v}\n')
+        else:
+            from retargetvid_tpu.pipeline.ingest import sal_dims
+            info = _oneshot_info(
+                cp, result='smart cropped (oneshot)', h=h, w=w,
+                sal_hw=sal_dims(w, h, cp['max_input_d']), dest=dest,
+                boxes=boxes, fc=fc, fps=fps, t_read=t_read,
+                t_dev=t_dev)
+            with open(info_path, 'w') as fp:
+                for k, v in info.items():
+                    fp.write(f'{k}:{v}\n')
+        write_boxes_file(txt, np.asarray(boxes, int))
+        _eval_inline(annots, vid_fn, ar, boxes)
+
+    # One-deep pipeline: dispatch video k, decode video k+1 while the chip
+    # runs k, only then collect k (the bench's pipelined protocol — all-
+    # dispatch-before-first-fetch measured +36% over synchronous per-clip
+    # on the real chip; depth 1 captures the decode/execute overlap
+    # without holding more than two clips in HBM).  Outputs are identical
+    # to the synchronous order; collect() is where the static-bounds check
+    # fires, so the sequential fallback still engages per clip.
+    pending = None
     ars = args.ratios.split(',')
     for ar in ars:
         cp = dict(crop_params)
@@ -339,40 +389,22 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
             raw = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             t_read = _time.perf_counter() - t0
             fc = int(raw.shape[0])
-            boxes = None
+            ticket = None
+            t0 = _time.perf_counter()
             if fc <= cp['read_batch']:
-                t0 = _time.perf_counter()
                 try:
-                    out = program.run(raw, cp, fps=fps,
-                                      w_final=dest['w_final'],
-                                      h_final=dest['h_final'])
-                    boxes = out['boxes']
+                    ticket = program.dispatch(raw, cp, fps=fps,
+                                              w_final=dest['w_final'],
+                                              h_final=dest['h_final'])
                 except ValueError as exc:
                     print(f' oneshot fallback: {exc}')
-                t_dev = _time.perf_counter() - t0
-            if boxes is None:
-                # Streaming fallback: the sequential reference path.
-                from retargetvid_tpu.pipeline.crop import smart_vid_crop
-                transnet_fn, saliency_fn = _build_models(args)
-                vd, res = smart_vid_crop(vid_path, cp, save_vid=False,
-                                         transnet_fn=transnet_fn,
-                                         saliency_fn=saliency_fn)
-                boxes = np.asarray(vd['bbs'], int)
-                with open(info_path, 'w') as fp:
-                    for k, v in res.items():
-                        fp.write(f'{k}:{v}\n')
-            else:
-                from retargetvid_tpu.pipeline.ingest import sal_dims
-                info = _oneshot_info(
-                    cp, result='smart cropped (oneshot)', h=h, w=w,
-                    sal_hw=sal_dims(w, h, cp['max_input_d']), dest=dest,
-                    boxes=boxes, fc=fc, fps=fps, t_read=t_read,
-                    t_dev=t_dev)
-                with open(info_path, 'w') as fp:
-                    for k, v in info.items():
-                        fp.write(f'{k}:{v}\n')
-            write_boxes_file(txt, np.asarray(boxes, int))
-            _eval_inline(annots, vid_fn, ar, boxes)
+            t_disp = _time.perf_counter() - t0
+            if pending is not None:
+                _finish(pending)
+            pending = (ticket, cp, vid_path, vid_fn, ar, txt, info_path,
+                       meta, dest, fc, t_read, t_disp)
+    if pending is not None:
+        _finish(pending)
 
 
 def cmd_benchmark_oneshot_sharded(args, vid_paths, results_out, annots,

@@ -156,7 +156,9 @@ class TransNetPredictor:
                  fullseq: bool = False):
         assert window % stride == 0
         self.model = model
-        self.params = params
+        # Parameters ride as jit arguments: pin them on device ONCE so a
+        # numpy checkpoint tree is not re-uploaded on every dispatch.
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.window = window
         self.stride = stride
         self.keep = keep
@@ -164,6 +166,14 @@ class TransNetPredictor:
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, n_pad: int):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('transnet-windows', repr(self.model), self.window,
+               self.stride, self.keep, self.fullseq,
+               tree_signature(self.params), n_pad)
+        return shared_program(key, lambda: self._build(n_pad))
+
+    def _build(self, n_pad: int):
         window, stride, keep = self.window, self.stride, self.keep
         m = window // stride
         k = -(-(n_pad + window - stride + keep[0]) // stride)   # blocks
@@ -219,7 +229,7 @@ class IngestShotProgram:
                  sal_hw, window: int = 100, stride: int = 50,
                  keep: tuple = (25, 75)):
         self.model = model
-        self.params = params
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.sal_hw = tuple(sal_hw)
         self.window = window
         self.stride = stride
@@ -227,6 +237,14 @@ class IngestShotProgram:
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, n_pad: int, h: int, w: int):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('ingest-shot', repr(self.model), self.sal_hw, self.window,
+               self.stride, self.keep, tree_signature(self.params),
+               n_pad, h, w)
+        return shared_program(key, lambda: self._build(n_pad, h, w))
+
+    def _build(self, n_pad: int, h: int, w: int):
         from retargetvid_tpu.ops.resize import resize, round_half_up
 
         window, stride, keep = self.window, self.stride, self.keep

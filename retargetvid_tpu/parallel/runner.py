@@ -53,6 +53,19 @@ class ShardedClipRunner:
     @functools.lru_cache(maxsize=16)
     def _compiled(self, t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg,
                   fps, h_orig, w_orig, w_final, h_final):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('sharded-clips', self.mesh, repr(self.model), self.source,
+               jnp.dtype(self.dtype).name, self.t_border,
+               tree_signature(self.variables),
+               t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
+               h_orig, w_orig, w_final, h_final)
+        return shared_program(key, lambda: self._build(
+            t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
+            h_orig, w_orig, w_final, h_final))
+
+    def _build(self, t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg,
+               fps, h_orig, w_orig, w_final, h_final):
         from retargetvid_tpu.pipeline.fused import make_clip_fn
 
         fn = make_clip_fn(
@@ -198,6 +211,18 @@ class ShardedOneShot:
     @functools.lru_cache(maxsize=16)
     def _compiled(self, fc_cap, hw, sal_hw, cfg, fps, w_final, h_final,
                   skip):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('sharded-oneshot', self.mesh, repr(self.model),
+               repr(self.tn_model), self.source, jnp.dtype(self.dtype).name,
+               self.t_border, self.s_pad, self.window, self.stride,
+               self.keep, self.tn_fullseq, tree_signature(self.variables),
+               tree_signature(self.tn_params),
+               fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip)
+        return shared_program(key, lambda: self._build(
+            fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip))
+
+    def _build(self, fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip):
         from retargetvid_tpu.pipeline.fused import pack_clip_outputs
         from retargetvid_tpu.pipeline.geometry import bucket_size
         from retargetvid_tpu.pipeline.oneshot import make_oneshot_body
@@ -360,13 +385,25 @@ class ShardedSaliency:
 
     @functools.lru_cache(maxsize=8)
     def _compiled(self, in_hw, net_hw):
-        model, variables, source = self.model, self.variables, self.source
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('sharded-saliency', self.mesh, repr(self.model), self.source,
+               jnp.dtype(self.dtype).name, tree_signature(self.variables),
+               in_hw, net_hw)
+        return shared_program(key, lambda: self._build(in_hw, net_hw))
+
+    def _build(self, in_hw, net_hw):
+        model, source = self.model, self.source
         in_sharding = NamedSharding(self.mesh, P('dp'))
         out_sharding = NamedSharding(self.mesh, P('dp'))
+        rep = NamedSharding(self.mesh, P())
 
-        @functools.partial(jax.jit, in_shardings=(in_sharding,),
+        # Parameters enter as a jit argument (closed-over device arrays
+        # would lower as MLIR constants AND pin the program to one
+        # instance's weights, defeating the shared trace cache).
+        @functools.partial(jax.jit, in_shardings=(rep, in_sharding),
                            out_shardings=out_sharding)
-        def fn(frames):
+        def fn(variables, frames):
             x = preprocess_frames(frames, net_hw).astype(self.dtype)
             logp, _ = model.apply(variables, x[:, None],
                                   target_size=in_hw, source=source,
@@ -389,7 +426,8 @@ class ShardedSaliency:
             if e - s < b:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], b - (e - s), axis=0)])
-            out[s:e] = np.asarray(fn(jnp.asarray(chunk)))[:e - s]
+            out[s:e] = np.asarray(fn(self.variables,
+                                     jnp.asarray(chunk)))[:e - s]
         return out
 
 

@@ -144,13 +144,32 @@ class FusedClipProgram:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
                                         static=True)
-        self.variables = variables
+        # Parameters ride as jit arguments: pin them on device ONCE so a
+        # numpy checkpoint tree is not re-uploaded on every dispatch.
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, t_sel_pad: int, t_out: int, s_pad: int,
                   in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                   cfg: GeometryConfig, fps: float,
                   h_orig: int, w_orig: int, w_final: int, h_final: int):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        # Parameters are jit ARGUMENTS (see below), so equal-config
+        # instances trace the identical program — share it process-wide.
+        key = ('fused', repr(self.model), self.source,
+               jnp.dtype(self.dtype).name, self.t_border,
+               self.pallas_postprocess, tree_signature(self.variables),
+               t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
+               h_orig, w_orig, w_final, h_final)
+        return shared_program(key, lambda: self._build(
+            t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
+            h_orig, w_orig, w_final, h_final))
+
+    def _build(self, t_sel_pad: int, t_out: int, s_pad: int,
+               in_hw: Tuple[int, int], net_hw: Tuple[int, int],
+               cfg: GeometryConfig, fps: float,
+               h_orig: int, w_orig: int, w_final: int, h_final: int):
         fn = make_clip_fn(
             self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,

@@ -212,7 +212,9 @@ class OneShotClipProgram:
                  s_pad: int = 8, window: int = 100, stride: int = 50,
                  keep: tuple = (25, 75), tn_fullseq: bool = False):
         self.tn_model = tn_model
-        self.tn_params = tn_params
+        # Parameters ride as jit arguments: pin them on device ONCE so a
+        # numpy checkpoint tree is not re-uploaded on every dispatch.
+        self.tn_params = jax.tree_util.tree_map(jnp.asarray, tn_params)
         self.model = model or UNISAL()
         self.source = source
         self.dtype = dtype
@@ -226,15 +228,28 @@ class OneShotClipProgram:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
                                         static=True)
-        self.variables = variables
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, fc: int, hw: Tuple[int, int],
                   sal_hw: Tuple[int, int], cfg: GeometryConfig,
                   fps: float, w_final: int, h_final: int, skip: int):
-        from retargetvid_tpu.models.transnet import INPUT_HEIGHT, INPUT_WIDTH
-        from retargetvid_tpu.ops.resize import resize, round_half_up
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
+        # Parameters are jit ARGUMENTS, so equal-config instances trace the
+        # identical program — share it process-wide (the test suite builds
+        # many equal programs; each duplicate trace costs seconds).
+        key = ('oneshot', repr(self.model), repr(self.tn_model), self.source,
+               jnp.dtype(self.dtype).name, self.t_border, self.s_pad,
+               self.window, self.stride, self.keep, self.tn_fullseq,
+               tree_signature(self.variables), tree_signature(self.tn_params),
+               fc, hw, sal_hw, cfg, fps, w_final, h_final, skip)
+        return shared_program(key, lambda: self._build(
+            fc, hw, sal_hw, cfg, fps, w_final, h_final, skip))
+
+    def _build(self, fc: int, hw: Tuple[int, int],
+               sal_hw: Tuple[int, int], cfg: GeometryConfig,
+               fps: float, w_final: int, h_final: int, skip: int):
         h_orig, w_orig = hw
         sal_h, sal_w = sal_hw
         t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
@@ -242,10 +257,6 @@ class OneShotClipProgram:
         s_pad = self.s_pad
         net_hw = get_optimal_out_size((sal_h, sal_w))
         window, stride, keep = self.window, self.stride, self.keep
-        m = window // stride
-        kk = -(-(fc + window - stride + keep[0]) // stride)
-        length = kk * stride
-        n_w = kk - m + 1
         tn_model = self.tn_model
 
         body = make_oneshot_body(

@@ -84,16 +84,28 @@ class SaliencyPredictor:
             variables = self.model.init(
                 jax.random.PRNGKey(rng_seed), x0,
                 static=not getattr(self.model, 'with_rnn', False))
-        self.variables = variables
+        # Parameters ride as jit arguments: pin them on device ONCE so a
+        # numpy checkpoint tree is not re-uploaded on every dispatch.
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, batch: int, in_hw: Tuple[int, int],
                   net_hw: Tuple[int, int]):
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
+
+        key = ('saliency-static', repr(self.model), self.source,
+               jnp.dtype(self.dtype).name, tree_signature(self.variables),
+               batch, in_hw, net_hw)
+        return shared_program(key, lambda: self._build(in_hw, net_hw))
+
+    def _build(self, in_hw: Tuple[int, int], net_hw: Tuple[int, int]):
         model = self.model
-        variables = self.variables
         source = self.source
 
-        def fn(frames):
+        # Parameters enter as a jit argument (closed-over device arrays
+        # would lower as MLIR constants AND pin the program to one
+        # instance's weights, defeating the shared trace cache).
+        def fn(variables, frames):
             x = preprocess_frames(frames, net_hw).astype(self.dtype)
             x = x[:, None]                          # (B, T=1, h, w, 3)
             logp, _ = model.apply(variables, x, target_size=in_hw,
@@ -121,22 +133,31 @@ class SaliencyPredictor:
 
         Returns (T, H, W) uint8 maps.
         """
-        import functools as _ft
+        from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
         t, h, w, _ = frames.shape
         net_hw = get_optimal_out_size((h, w))
         frames = jnp.asarray(frames)
         model = self.model
         variables = self.variables
+        sig = tree_signature(variables)
 
-        @_ft.lru_cache(maxsize=8)
         def chunk_fn(n: int):
-            def fn(batch, h0):
-                x = preprocess_frames(batch, net_hw).astype(self.dtype)
-                logp, h1 = model.apply(variables, x[None], target_size=(h, w),
-                                       source=source, static=False, h0=h0)
-                return logp[0, :, :, :, 0].astype(jnp.float32), h1
-            return jax.jit(fn)
+            # Shared process-wide: repeat predict_video calls (and equal-
+            # config predictors) previously re-traced this program per CALL.
+            key = ('saliency-dynamic', repr(model), source,
+                   jnp.dtype(self.dtype).name, sig, (h, w), net_hw, n)
+
+            def build():
+                def fn(variables, batch, h0):
+                    x = preprocess_frames(batch, net_hw).astype(self.dtype)
+                    logp, h1 = model.apply(variables, x[None],
+                                           target_size=(h, w),
+                                           source=source, static=False, h0=h0)
+                    return logp[0, :, :, :, 0].astype(jnp.float32), h1
+                return jax.jit(fn)
+
+            return shared_program(key, build)
 
         logps = np.zeros((t, h, w), np.float32)
         for offset in range(min(frame_modulo, t)):
@@ -149,7 +170,7 @@ class SaliencyPredictor:
                 if n < seq_len:           # ragged tail: pad, trim after
                     batch = jnp.concatenate(
                         [batch, jnp.repeat(batch[-1:], seq_len - n, axis=0)])
-                logp, h0 = chunk_fn(seq_len)(batch, h0)
+                logp, h0 = chunk_fn(seq_len)(variables, batch, h0)
                 logps[sel] = np.asarray(logp)[:n]
 
         if smooth_method is not None:
@@ -181,6 +202,6 @@ class SaliencyPredictor:
                 batch = jnp.concatenate(
                     [batch, jnp.repeat(batch[-1:], self.chunk - (e - s),
                                        axis=0)], axis=0)
-            chunks.append(fn(batch)[:e - s])
+            chunks.append(fn(self.variables, batch)[:e - s])
         out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
         return out if return_device else np.asarray(out)

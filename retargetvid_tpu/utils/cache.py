@@ -22,6 +22,48 @@ import os
 
 _DEFAULT_DIR = os.path.expanduser('~/.cache/jax_comp')
 
+#: Process-wide memo for traced/jitted program objects (see
+#: :func:`shared_program`).
+_TRACE_CACHE: dict = {}
+
+
+def tree_signature(tree) -> tuple:
+    """Hashable (treedef, shapes, dtypes) signature of a pytree of arrays.
+
+    Two parameter trees with equal structure/shapes/dtypes trace to the
+    same program when they enter it as jit ARGUMENTS (values never touch
+    the trace), so this is the right cache-key ingredient for
+    :func:`shared_program`.
+    """
+    import jax
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return (str(treedef), tuple(
+        (tuple(np.shape(v)), str(getattr(v, 'dtype', type(v).__name__)))
+        for v in flat))
+
+
+def shared_program(key: tuple, builder):
+    """Process-wide memo for traced/jitted programs.
+
+    The program classes (``OneShotClipProgram``, ``FusedClipProgram``,
+    ``Sharded*``, ``TransNetPredictor``) each carry an instance-level
+    ``lru_cache`` over their static signature — but that keys on the
+    INSTANCE, so two equal-config objects re-trace and re-lower a
+    byte-identical program (the XLA disk cache saves the backend compile;
+    the trace + lowering of a whole-clip program still costs seconds per
+    duplicate, which the test suite pays dozens of times).  ``key`` must
+    capture everything that affects the traced program: model configs
+    (``repr`` of the flax module), dtype/static knobs, mesh, and the
+    parameter-tree signature (shapes enter the trace via the zero-arg
+    ``eval_shape``); parameter VALUES must enter the program as jit
+    arguments for sharing to be sound.
+    """
+    if key not in _TRACE_CACHE:
+        _TRACE_CACHE[key] = builder()
+    return _TRACE_CACHE[key]
+
 
 def _cpu_fingerprint() -> str:
     """Stable hash of this host's CPU feature flags."""

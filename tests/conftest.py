@@ -36,6 +36,14 @@ jax.config.update("jax_platforms", "cpu")
 from retargetvid_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
+# Serializing XLA:CPU AOT executables for the cache write segfaults rarely
+# but fatally (observed once in ~4 full cold runs: SIGSEGV inside
+# put_executable_and_time on a sub-second entry, killing the whole session).
+# Writes are pure optimization for REPEAT sessions; only the multi-second
+# programs are worth that risk — raise the write threshold so the hundreds
+# of small entries per cold run never get serialized (~10x less exposure,
+# and the big fused programs still cache).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
 
 import pathlib
 

@@ -33,8 +33,12 @@ def test_render_cropped_pickle(tmp_path):
 def test_score_model_metrics():
     import jax
 
+    from conftest import TINY_UNISAL_CFG
     from retargetvid_tpu.train.trainer import Trainer
-    tr = Trainer(steps_per_epoch=5)
+
+    # Metric semantics (kld/nss/cc/sim/aucj) are channel-count independent:
+    # the narrow structure-test config skips a full-width eval compile.
+    tr = Trainer(steps_per_epoch=5, model_cfg=TINY_UNISAL_CFG)
     tr.init_state(example_shape=(1, 1, 64, 64, 3))
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (1, 1, 64, 64, 3)).astype(np.float32)
