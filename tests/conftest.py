@@ -16,15 +16,21 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Tests validate SEMANTICS, not CPU execution speed: dropping the XLA:CPU
-# backend optimization pipeline compiles the big fused programs ~1.8x
-# faster on this 1-core host (measured: test_pipeline_fused cold 146 s ->
-# 80 s) with every numeric-parity test (incl. exact box equality across
+# Tests validate SEMANTICS, not CPU execution speed: lowering the XLA:CPU
+# backend optimization level compiles the big fused programs ~1.8x faster
+# on this 1-core host (measured: test_pipeline_fused cold 146 s -> 80 s at
+# level 0) with every numeric-parity test (incl. exact box equality across
 # program variants and the hermetic conversion goldens) still green.
-# Production TPU compiles are unaffected.
+# Production TPU compiles are unaffected.  But level 0 also disables LLVM
+# vectorization, so EXECUTION-bound tests (full-width model forwards in
+# the preflight runbook) crawl; level 1 keeps most of the compile-speed
+# win while restoring vectorized codegen.  RTV_TEST_OPTLEVEL overrides
+# (e.g. =3 for execution-bound measurement A/Bs at the default pipeline).
 if "xla_backend_optimization_level" not in _flags:
-    _flags += (" --xla_backend_optimization_level=0"
-               " --xla_llvm_disable_expensive_passes=true")
+    _lvl = os.environ.get("RTV_TEST_OPTLEVEL", "1")
+    _flags += f" --xla_backend_optimization_level={_lvl}"
+    if _lvl in ("0", "1"):
+        _flags += " --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = _flags
 
 import jax
