@@ -63,8 +63,14 @@ def _build_models(args):
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
         print(' WARNING: no --transnet-weights; using random init')
-    transnet_fn = TransNetPredictor(model, params)
+    transnet_fn = TransNetPredictor(
+        model, params, fullseq=_tn_fullseq(args))
     return transnet_fn, predictor.predict
+
+
+def _tn_fullseq(args) -> bool:
+    """Resolve the ``--tn-plan`` flag to the ``fullseq`` boolean."""
+    return getattr(args, 'tn_plan', 'windowed') == 'fullseq'
 
 
 def _eval_inline(annots, vid_fn, ar, bbs):
@@ -114,7 +120,8 @@ def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
         tn_params = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
         print(' WARNING: no --transnet-weights; using random init')
-    transnet_fn = TransNetPredictor(model, tn_params)
+    transnet_fn = TransNetPredictor(model, tn_params,
+                                    fullseq=_tn_fullseq(args))
 
     variables = None
     if args.unisal_weights:
@@ -578,6 +585,7 @@ def cmd_benchmark(args):
     from retargetvid_tpu.pipeline.crop import smart_vid_crop
 
     crop_params = sc_init_crop_params(use_best_settings=args.best_settings)
+    crop_params['tpu_transnet_fullseq'] = _tn_fullseq(args)
 
     annots = None
     if args.annotations:
@@ -638,6 +646,7 @@ def cmd_crop(args):
 
     crop_params = sc_init_crop_params(use_best_settings=args.best_settings)
     crop_params['out_ratio'] = args.ratio
+    crop_params['tpu_transnet_fullseq'] = _tn_fullseq(args)
     transnet_fn, saliency_fn = _build_models(args)
     out = Path(args.out or (Path(args.video).stem + '_crop'))
     vd, res = smart_vid_crop(
@@ -874,6 +883,18 @@ def main(argv=None):
     b.add_argument('--mesh', type=int, default=0,
                    help='shard clips over an N-device dp mesh '
                         '(0 = sequential single-chip loop)')
+    b.add_argument('--tn-plan', choices=('windowed', 'fullseq'),
+                   default='fullseq',
+                   help="TransNet shot-detection plan.  'fullseq' (the "
+                        'benchmark default and the flagship bench '
+                        'configuration) runs ONE whole-clip forward — the '
+                        'network is fully convolutional in time, so this '
+                        'only removes the window plan\'s edge truncation '
+                        'and computes each frame once instead of ~2.1x; '
+                        'end-to-end crop boxes match the windowed plan to '
+                        "4 decimals on every parity row (docs/PARITY.md).  "
+                        "'windowed' replicates the reference's 100/50 "
+                        'sliding-window semantics exactly.')
     b.set_defaults(fn=cmd_benchmark)
 
     c = sub.add_parser('crop', help='smart-crop one video')
@@ -884,6 +905,13 @@ def main(argv=None):
     c.add_argument('--save-vid', action='store_true')
     c.add_argument('--demo', action='store_true')
     c.add_argument('--copy-sound', action='store_true')
+    c.add_argument('--tn-plan', choices=('windowed', 'fullseq'),
+                   default='windowed',
+                   help="TransNet plan; 'crop' keeps the reference's "
+                        'windowed semantics by default (replicate-by-'
+                        "default for single-video use); pass 'fullseq' "
+                        'for the faster whole-clip forward (see '
+                        'benchmark --tn-plan)')
     c.set_defaults(fn=cmd_crop)
 
     e = sub.add_parser('eval', help='standalone results evaluator')

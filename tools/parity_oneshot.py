@@ -74,7 +74,8 @@ def _real_unisal_handler(saliency_fn) -> types.ModuleType:
 
 
 def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0,
-                 tn_fullseq: bool = False):
+                 tn_fullseq: bool = False, unisal_weights: str = '',
+                 transnet_weights: str = ''):
     """(transnet_fn, saliency_fn, oneshot program) sharing ONE set of
     randomly-initialized weights.
 
@@ -93,7 +94,15 @@ def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0,
     (shifting every transition logit down by 2b): a raw random init
     fires "cut" on ~half the frames, which no real checkpoint does and
     which overflows the one-shot static pick bound.  Both pipelines
-    share the biased weights (see :func:`calibrate_tn_bias`)."""
+    share the biased weights (see :func:`calibrate_tn_bias`).
+
+    ``unisal_weights`` / ``transnet_weights`` (the real-weight preflight
+    mode, docs/PREFLIGHT.md §4): load the released checkpoints instead of
+    random inits — ``unisal_weights`` is the torch ``weights_best.pth``
+    (converted at load time via ``models.torch_import``),
+    ``transnet_weights`` the ``tools/convert_transnet.py`` pickle.  The
+    random-init calibrations (``sharpen``, ``tn_bias``) never apply to
+    real weights."""
     import jax
     import jax.numpy as jnp
 
@@ -105,22 +114,38 @@ def build_models(seed: int = 0, sharpen: float = 48.0, tn_bias: float = 0.0,
 
     enable_compilation_cache()
     tn_model = TransNetV1()
-    tn_params = tn_model.init(jax.random.PRNGKey(seed),
-                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
-    if tn_bias:
-        tn_params['params']['dense2']['bias'] = jnp.asarray(
-            [tn_bias, -tn_bias])
+    if transnet_weights:
+        import pickle
+        with open(transnet_weights, 'rb') as fp:
+            tn_params = pickle.load(fp)
+        print(f'loaded TransNet weights from {transnet_weights}', flush=True)
+    else:
+        tn_params = tn_model.init(jax.random.PRNGKey(seed),
+                                  jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+        if tn_bias:
+            tn_params['params']['dense2']['bias'] = jnp.asarray(
+                [tn_bias, -tn_bias])
     un_model = UNISAL()
-    un_vars = un_model.init(jax.random.PRNGKey(seed),
-                            jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
-                            static=True)
-    if sharpen != 1.0:
-        un_vars = jax.tree_util.tree_map(lambda x: x, un_vars)  # shallow copy
-        params = un_vars['params']
-        for name, leaf in params.items():
-            if name.startswith('adaptation'):
-                params[name] = jax.tree_util.tree_map(
-                    lambda x: x * sharpen, leaf)
+    if unisal_weights:
+        import torch
+
+        from retargetvid_tpu.models.torch_import import load_unisal_variables
+        sd = torch.load(unisal_weights, map_location='cpu')
+        if isinstance(sd, dict) and 'model_state_dict' in sd:
+            sd = sd['model_state_dict']
+        un_vars = load_unisal_variables(un_model, sd)
+        print(f'loaded UNISAL weights from {unisal_weights}', flush=True)
+    else:
+        un_vars = un_model.init(jax.random.PRNGKey(seed),
+                                jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
+                                static=True)
+        if sharpen != 1.0:
+            un_vars = jax.tree_util.tree_map(lambda x: x, un_vars)  # shallow
+            params = un_vars['params']
+            for name, leaf in params.items():
+                if name.startswith('adaptation'):
+                    params[name] = jax.tree_util.tree_map(
+                        lambda x: x * sharpen, leaf)
     transnet_fn = TransNetPredictor(tn_model, tn_params)
     predictor = SaliencyPredictor(variables=un_vars, model=un_model)
     program = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
@@ -357,7 +382,31 @@ def main(argv=None):
                         help='final-dense bias shift [b,-b] taming the '
                              'random TransNet (default: auto-calibrated, '
                              'see calibrate_tn_bias)')
+    parser.add_argument('--unisal-weights', default='',
+                        help='torch weights_best.pth: run with the REAL '
+                             'released saliency model instead of the '
+                             'calibrated random init (preflight mode, '
+                             'docs/PREFLIGHT.md §4)')
+    parser.add_argument('--transnet-weights', default='',
+                        help='converted TransNet pickle '
+                             '(tools/convert_transnet.py output)')
+    parser.add_argument('--videos', default='',
+                        help='directory of REAL videos (e.g. DHF1k/): use '
+                             'the first --max-videos clips as the corpus '
+                             'instead of the synthetic cases')
+    parser.add_argument('--max-videos', type=int, default=6,
+                        help='number of real clips with --videos')
+    parser.add_argument('--best-settings', action='store_true',
+                        help="shorthand for --settings ism (the ISM-2021 "
+                             "use_best_settings preset)")
+    parser.add_argument('--adaptive-link', action='store_true',
+                        help='set tpu_adaptive_link=True on OUR side (the '
+                             'HDBSCAN mutual-reachability emulation, '
+                             'ops/clustering.py) — the A/B arm of the '
+                             'speckle promotion rule in docs/PARITY.md')
     args = parser.parse_args(argv)
+    if args.best_settings:
+        args.settings = 'ism'
 
     from retargetvid_tpu.config import sc_init_crop_params
 
@@ -370,17 +419,38 @@ def main(argv=None):
 
     vdir = args.video_dir or tempfile.mkdtemp(prefix='parity_oneshot_')
     os.makedirs(vdir, exist_ok=True)
-    wanted = set(args.cases.split(','))
-    corpus = {k: v for k, v in pf.make_corpus(vdir).items() if k in wanted}
+    if args.videos:
+        import glob as _glob
+        exts = ('*.AVI', '*.avi', '*.MP4', '*.mp4', '*.MOV', '*.mov')
+        paths = sorted(p for ext in exts
+                       for p in _glob.glob(os.path.join(args.videos, ext)))
+        if not paths:
+            parser.error(f'no videos found under {args.videos}')
+        corpus = {os.path.splitext(os.path.basename(p))[0]: (p, {})
+                  for p in paths[:args.max_videos]}
+        print(f'real-video corpus: {sorted(corpus)}', flush=True)
+    else:
+        wanted = set(args.cases.split(','))
+        corpus = {k: v for k, v in pf.make_corpus(vdir).items() if k in wanted}
+    if args.adaptive_link:
+        # Our side only: GeometryConfig.from_crop_params consumes the key;
+        # the reference's extracted functions ignore unknown cp keys.
+        corpus = {k: (p, {**ov, 'tpu_adaptive_link': True})
+                  for k, (p, ov) in corpus.items()}
 
+    real_weights = bool(args.unisal_weights or args.transnet_weights)
     if args.tn_bias is not None:
         tn_bias = args.tn_bias
+    elif real_weights:
+        tn_bias = 0.0   # real checkpoints need no taming
     else:
         transnet_fn, _, _ = build_models()
         tn_bias = calibrate_tn_bias(transnet_fn, corpus)
     print(f'tn_bias = {tn_bias:.3f}', flush=True)
     transnet_fn, saliency_fn, program = build_models(
-        tn_bias=tn_bias, tn_fullseq=args.fullseq)
+        tn_bias=tn_bias, tn_fullseq=args.fullseq,
+        unisal_weights=args.unisal_weights,
+        transnet_weights=args.transnet_weights)
     ref = pf.load_reference_pipeline()
     ref['transnet_model'] = _RealTransNet(transnet_fn)
     ref['unisal_handler'] = _real_unisal_handler(saliency_fn)
