@@ -1,12 +1,17 @@
 """Preflight runbook test (docs/PREFLIGHT.md; VERDICT r03 missing #1).
 
-Drives the EXACT real-weight command chain — convert checkpoints ->
-``cli benchmark --ratios 1:3,3:1`` -> ``cli eval`` — end-to-end on hermetic
-mock checkpoints (reference layouts, deterministically synthesized content)
+Drives the EXACT real-weight command chain the runbook tells the
+weight-holder to paste — convert checkpoints -> ``cli benchmark
+--ratios 1:3,3:1 ... --oneshot`` (the flagship one-dispatch path, default
+``--tn-plan fullseq``) -> ``cli eval`` — end-to-end on hermetic mock
+checkpoints (reference layouts, deterministically synthesized content)
 and two synthetic DHF1K-named videos, asserting the result tree and
-``eval_current.txt`` appear.  Anyone holding the real ``weights_best.pth`` /
-TransNet TF bundle and the DHF1K videos reproduces the 200x2 run by
-substituting assets into the same commands.
+``eval_current.txt`` appear and that the runbook's stated streaming
+alternative (drop ``--oneshot``) produces the same boxes.  Anyone holding
+the real ``weights_best.pth`` / TransNet TF bundle and the DHF1K videos
+reproduces the 200x2 run by substituting assets into the same commands.
+The ``--mesh 2 --oneshot`` runbook variant is covered in the mesh tier
+(``test_preflight_runbook_mesh``).
 
 The UNISAL checkpoint goes through the torch ``state_dict`` load path the
 CLI uses for the released weights (``models/torch_import.py``); the TransNet
@@ -83,23 +88,24 @@ def _write_clip(path, n=36, h=360, w=640, phase=0.0):
     writer.release()
 
 
-def test_preflight_runbook(reference_dir, tmp_path, capsys):
+def _synth_assets(tmp_path):
+    """Step 0 of the runbook: mock assets in the reference's released
+    layouts — a torch ``weights_best.pth`` (reference state_dict key set,
+    harvested in tests/fixtures/unisal_sd_shapes.json, deterministically
+    synthesized per key), the TransNet converter's pickle artifact (full
+    TF variable set through ``tools/convert_transnet.map_variables``), and
+    two synthetic DHF1K-named videos (one from each benchmark index range
+    so annotation-driven flows engage)."""
     torch = pytest.importorskip('torch')
     fixgen = _load_tool('make_conversion_fixtures')
     conv = _load_tool('convert_transnet')
 
-    # --- step 0: mock assets in the reference's released layouts.
-    # UNISAL weights_best.pth: the reference torch state_dict key set
-    # (harvested in tests/fixtures/unisal_sd_shapes.json), synthesized
-    # deterministically per key.
     shapes = json.loads((FIXTURES / 'unisal_sd_shapes.json').read_text())
     sd = {k: torch.from_numpy(fixgen.synth_value(k, sh, dt))
           for k, (sh, dt) in shapes.items()}
     weights_pth = tmp_path / 'weights_best.pth'
     torch.save(sd, weights_pth)
 
-    # TransNet: full-size TF variable set -> the converter's mapping -> the
-    # pickle artifact `tools/convert_transnet.py` writes.
     tf_shapes = _full_transnet_tf_shapes()
     tensors = {n: fixgen.synth_value(n, sh) for n, sh in tf_shapes.items()}
     tn_variables = conv.map_variables(tensors.__getitem__)
@@ -107,29 +113,35 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     with open(tn_pkl, 'wb') as fp:
         pickle.dump(tn_variables, fp)
 
-    # Two synthetic videos named like DHF1K entries (one from each index
-    # range) so the annotation-driven flows engage.
     vids = tmp_path / 'DHF1k'
     vids.mkdir()
     _write_clip(vids / '001.mp4', phase=0.0)
     _write_clip(vids / '601.mp4', phase=0.1)
+    return weights_pth, tn_pkl, vids
 
-    # --- step 2 of the runbook: the benchmark loop, both ratios, with the
-    # annotations wired so the reference's inline per-video 6-user eval
-    # engages (smartVidCrop.py:2798-2836).
+
+def test_preflight_runbook(reference_dir, tmp_path, capsys):
+    weights_pth, tn_pkl, vids = _synth_assets(tmp_path)
+
+    # --- step 2 of the runbook: the EXACT documented command
+    # (docs/PREFLIGHT.md §2 — including `--oneshot`, the flagship
+    # one-dispatch path, under the default `--tn-plan fullseq`), both
+    # ratios, with the annotations wired so the reference's inline
+    # per-video 6-user eval engages (smartVidCrop.py:2798-2836).  Only the
+    # asset paths are substituted (plus --annotations-extract because the
+    # reference tree is read-only here).
     from retargetvid_tpu.cli import main
     out_dir = tmp_path / 'results'
     main(['benchmark',
           '--videos', str(vids),
           '--out', str(out_dir),
-          '--test-name', 'preflight',
+          '--test-name', 'smartvidcrop_tpu',
           '--ratios', '1:3,3:1',
           '--unisal-weights', str(weights_pth),
           '--transnet-weights', str(tn_pkl),
           '--annotations', str(reference_dir / 'annotations'),
           '--annotations-extract', str(tmp_path / 'annots'),
-          '--chunk', '8',
-          '--replace-existing'])
+          '--oneshot'])
     console = capsys.readouterr().out
     assert 'loaded UNISAL weights' in console
     assert 'loaded TransNet weights' in console
@@ -137,7 +149,7 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     assert 'user #1:' in console and 'mean   :' in console
 
     from retargetvid_tpu.eval.annotations import read_boxes_file
-    run = out_dir / 'preflight'
+    run = out_dir / 'smartvidcrop_tpu'
     for vid in ('001', '601'):
         for ar in ('1-3', '3-1'):
             boxes = read_boxes_file(run / f'{vid}_{ar}.txt')
@@ -152,6 +164,26 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     # golden outputs' convention, e.g. results/smartvidcrop/001_3-1.txt).
     assert ((boxes31[:, 3] - boxes31[:, 1]) == 213).all()
 
+    # --- "drop it for the streaming 2-dispatch path" (the runbook's
+    # stated alternative): same command without --oneshot must produce
+    # the same result tree (1:3 bounds the extra full-width compiles).
+    main(['benchmark',
+          '--videos', str(vids),
+          '--out', str(out_dir),
+          '--test-name', 'streaming',
+          '--ratios', '1:3',
+          '--unisal-weights', str(weights_pth),
+          '--transnet-weights', str(tn_pkl),
+          '--chunk', '8'])
+    capsys.readouterr()
+    for vid in ('001', '601'):
+        one = read_boxes_file(run / f'{vid}_1-3.txt')
+        seq = read_boxes_file(out_dir / 'streaming' / f'{vid}_1-3.txt')
+        assert one.shape == seq.shape, vid
+        # Whole-clip program vs chunked streaming: identical math modulo
+        # batched-fp reassociation (same tolerance as test_oneshot).
+        assert np.abs(one - seq).max() <= 1, vid
+
     # --- step 3: the standalone evaluator over the result tree.  The mock
     # runs have 36-frame videos vs the real annotation counts, so the
     # validity report must flag frame-count errors yet still score
@@ -163,8 +195,45 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
           '--out', str(eval_out)])
     console = capsys.readouterr().out
     assert 'Checking runs validity' in console
-    assert 'preflight' in console
+    assert 'smartvidcrop_tpu' in console
     assert eval_out.is_file()
     body = eval_out.read_text()
     assert body.startswith('Method')
-    assert 'preflight' in body
+    assert 'smartvidcrop_tpu' in body
+
+
+@pytest.mark.mesh
+def test_preflight_runbook_mesh(tmp_path, capsys):
+    """The runbook's `--mesh N` variant (docs/PREFLIGHT.md §2 notes) through
+    the same converted mock checkpoints: `--mesh 2 --oneshot` must produce
+    the per-clip one-shot path's boxes (one clip per dp shard)."""
+    weights_pth, tn_pkl, vids = _synth_assets(tmp_path)
+
+    from retargetvid_tpu.cli import main
+    from retargetvid_tpu.eval.annotations import read_boxes_file
+
+    out_dir = tmp_path / 'results'
+    main(['benchmark',
+          '--videos', str(vids),
+          '--out', str(out_dir),
+          '--test-name', 'oneshot',
+          '--ratios', '1:3',
+          '--unisal-weights', str(weights_pth),
+          '--transnet-weights', str(tn_pkl),
+          '--oneshot'])
+    main(['benchmark',
+          '--videos', str(vids),
+          '--out', str(out_dir),
+          '--test-name', 'mesh2',
+          '--ratios', '1:3',
+          '--unisal-weights', str(weights_pth),
+          '--transnet-weights', str(tn_pkl),
+          '--oneshot', '--mesh', '2'])
+    capsys.readouterr()
+    for vid in ('001', '601'):
+        one = read_boxes_file(out_dir / 'oneshot' / f'{vid}_1-3.txt')
+        sh = read_boxes_file(out_dir / 'mesh2' / f'{vid}_1-3.txt')
+        assert one.shape == sh.shape, vid
+        assert np.abs(one - sh).max() <= 1, vid
+        info = (out_dir / 'mesh2' / f'{vid}_1-3_info.txt').read_text()
+        assert 'oneshot dp=2' in info or 'smart cropped' in info
