@@ -14,7 +14,8 @@ path is exact, ``tests/test_oneshot.py``) with the full-sequence TransNet
 plan (one whole-clip forward; reproduces the reference window plan's
 end-to-end decisions on every parity row, docs/PARITY.md).
 ``BENCH_ONESHOT=0`` times the 2-dispatch path, ``BENCH_TN_FULLSEQ=0`` the
-windowed TransNet plan (the pipeline CLI default).
+windowed TransNet plan (`cli benchmark --tn-plan windowed`; the fullseq
+plan measured here is also the `cli benchmark` default since round 5).
 
 Baseline: the reference reports t = exec_time/duration = 19% at 1:3 with the
 ICIP settings on the authors' GPU PC (reference README.md:59; BASELINE.md).
@@ -128,9 +129,10 @@ def main():
     # plan; docs/PERF.md A/B).  The fast plan reproduces the windowed plan's
     # end-to-end decisions on every parity row measured (docs/PARITY.md,
     # "Full-sequence TransNet plan"), so the bench runs it as the flagship
-    # configuration; BENCH_TN_FULLSEQ=0 times the replicate-by-default
-    # windowed plan instead (the pipeline CLI default).  The JSON records
-    # which plan ran (`tn_plan`).
+    # configuration — the same plan `cli benchmark` defaults to since
+    # round 5; BENCH_TN_FULLSEQ=0 times the windowed plan instead
+    # (`--tn-plan windowed`, the `crop` default).  The JSON records which
+    # plan ran (`tn_plan`).
     tn_fullseq = os.environ.get('BENCH_TN_FULLSEQ', '1') != '0'
 
     if batch > 1:

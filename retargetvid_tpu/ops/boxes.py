@@ -71,14 +71,26 @@ def compute_crop_boxes(dxs, dys, *,
     bl = jnp.asarray(border_l, jnp.int32)
     br = jnp.asarray(border_r, jnp.int32)
 
-    fbb_w = jnp.int32(w_final)
-    fbb_h = jnp.int32(h_final)
-    if h_final == h_orig:
-        fbb_h = (h_final - bt - bb).astype(jnp.int32)
-        fbb_w = (fbb_h.astype(jnp.float32) / h_final * w_final).astype(jnp.int32)
-    if w_final == w_orig:
-        fbb_w = (w_final - bl - br).astype(jnp.int32)
-        fbb_h = (fbb_w.astype(jnp.float32) / w_final * h_final).astype(jnp.int32)
+    # ``w_final``/``h_final`` may be Python ints OR traced scalars: they are
+    # jit ARGUMENTS in every pipeline program since round 5, so one compiled
+    # program serves both benchmark ratios (the only consumer of the target
+    # dims is this scalar math).  The reference's two ``if`` branches
+    # (``sc_compute_bb``) become predicated selects; with static ints XLA
+    # folds them back to constants.
+    wf = jnp.asarray(w_final, jnp.int32)
+    hf = jnp.asarray(h_final, jnp.int32)
+    wf_f = wf.astype(jnp.float32)
+    hf_f = hf.astype(jnp.float32)
+    cond_h = hf == h_orig
+    fbb_h_v = (hf - bt - bb).astype(jnp.int32)
+    fbb_w_v = (fbb_h_v.astype(jnp.float32) / hf_f * wf_f).astype(jnp.int32)
+    cond_w = wf == w_orig
+    fbb_w_h = (wf - bl - br).astype(jnp.int32)
+    fbb_h_h = (fbb_w_h.astype(jnp.float32) / wf_f * hf_f).astype(jnp.int32)
+    # Reference order: the height branch applies first, the width branch
+    # overrides it (both recompute from the raw finals).
+    fbb_w = jnp.where(cond_w, fbb_w_h, jnp.where(cond_h, fbb_w_v, wf))
+    fbb_h = jnp.where(cond_w, fbb_h_h, jnp.where(cond_h, fbb_h_v, hf))
 
     hbbw1 = (fbb_w / 2.0).astype(jnp.int32)
     hbbw2 = fbb_w - hbbw1

@@ -52,32 +52,34 @@ class ShardedClipRunner:
 
     @functools.lru_cache(maxsize=16)
     def _compiled(self, t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg,
-                  fps, h_orig, w_orig, w_final, h_final):
+                  fps, h_orig, w_orig):
         from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
+        # w_final/h_final ride as traced (replicated) args: one SPMD
+        # program per clip signature serves both benchmark ratios.
         key = ('sharded-clips', self.mesh, repr(self.model), self.source,
                jnp.dtype(self.dtype).name, self.t_border,
                tree_signature(self.variables),
                t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
-               h_orig, w_orig, w_final, h_final)
+               h_orig, w_orig)
         return shared_program(key, lambda: self._build(
             t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
-            h_orig, w_orig, w_final, h_final))
+            h_orig, w_orig))
 
     def _build(self, t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg,
-               fps, h_orig, w_orig, w_final, h_final):
+               fps, h_orig, w_orig):
         from retargetvid_tpu.pipeline.fused import make_clip_fn
 
         fn = make_clip_fn(
             self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
-            t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
-            w_final=w_final, h_final=h_final)
+            t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig)
         clip_sharding = NamedSharding(self.mesh, P('dp'))
         rep = NamedSharding(self.mesh, P())
-        return jax.jit(jax.vmap(fn, in_axes=(None,) + (0,) * 11),
-                       in_shardings=(rep,) + (clip_sharding,) * 11,
-                       out_shardings=clip_sharding)
+        return jax.jit(
+            jax.vmap(fn, in_axes=(None,) + (0,) * 11 + (None, None)),
+            in_shardings=(rep,) + (clip_sharding,) * 11 + (rep, rep),
+            out_shardings=clip_sharding)
 
     def run_batch(self, clips, crop_params: dict, *, fps: float,
                   h_orig: int, w_orig: int, w_final: int, h_final: int,
@@ -147,8 +149,7 @@ class ShardedClipRunner:
             return jnp.asarray(pad_1d(np.asarray(c[key])[:, col], s_pad))
 
         fn = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw, cfg,
-                            float(fps), int(h_orig), int(w_orig),
-                            int(w_final), int(h_final))
+                            float(fps), int(h_orig), int(w_orig))
         out = fn(self.variables,
                  stack('sal_frames', pad_frames),
                  stack('sel', sel_idx), stack('mask', sel_mask),
@@ -160,7 +161,8 @@ class ShardedClipRunner:
                  stack('sse', lambda c: seg_col(c, 'segmentation_sel', 1)),
                  jnp.asarray([len(c['segmentation']) for c in clips],
                              jnp.int32),
-                 jnp.asarray([c['fc'] for c in clips], jnp.int32))
+                 jnp.asarray([c['fc'] for c in clips], jnp.int32),
+                 jnp.int32(w_final), jnp.int32(h_final))
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []
         for i, c in enumerate(clips):
@@ -204,25 +206,27 @@ class ShardedOneShot:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
                                         static=True)
+        from retargetvid_tpu.parallel.distributed import global_put
         rep = NamedSharding(mesh, P())
-        self.variables = jax.device_put(variables, rep)
-        self.tn_params = jax.device_put(tn_params, rep)
+        self.variables = global_put(variables, rep)
+        self.tn_params = global_put(tn_params, rep)
 
     @functools.lru_cache(maxsize=16)
-    def _compiled(self, fc_cap, hw, sal_hw, cfg, fps, w_final, h_final,
-                  skip):
+    def _compiled(self, fc_cap, hw, sal_hw, cfg, fps, skip):
         from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
+        # w_final/h_final ride as traced (replicated) args: one SPMD
+        # program per clip signature serves both benchmark ratios.
         key = ('sharded-oneshot', self.mesh, repr(self.model),
                repr(self.tn_model), self.source, jnp.dtype(self.dtype).name,
                self.t_border, self.s_pad, self.window, self.stride,
                self.keep, self.tn_fullseq, tree_signature(self.variables),
                tree_signature(self.tn_params),
-               fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip)
+               fc_cap, hw, sal_hw, cfg, fps, skip)
         return shared_program(key, lambda: self._build(
-            fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip))
+            fc_cap, hw, sal_hw, cfg, fps, skip))
 
-    def _build(self, fc_cap, hw, sal_hw, cfg, fps, w_final, h_final, skip):
+    def _build(self, fc_cap, hw, sal_hw, cfg, fps, skip):
         from retargetvid_tpu.pipeline.fused import pack_clip_outputs
         from retargetvid_tpu.pipeline.geometry import bucket_size
         from retargetvid_tpu.pipeline.oneshot import make_oneshot_body
@@ -235,29 +239,33 @@ class ShardedOneShot:
             dtype=self.dtype, t_border=self.t_border, cfg=cfg, fc=fc_cap,
             sal_hw=sal_hw, net_hw=net_hw, t_out=bucket_size(fc_cap),
             t_sel_pad=t_sel_pad, s_pad=self.s_pad, skip=skip, fps=fps,
-            h_orig=h_orig, w_orig=w_orig, w_final=w_final, h_final=h_final,
+            h_orig=h_orig, w_orig=w_orig,
             window=self.window, stride=self.stride, keep=self.keep,
             tn_fullseq=self.tn_fullseq)
 
         spec_holder = {}
 
-        def one(variables, tn_params, raw, n):
-            vec, spec = pack_clip_outputs(body(variables, tn_params, raw, n))
+        def one(variables, tn_params, raw, n, w_final, h_final):
+            vec, spec = pack_clip_outputs(
+                body(variables, tn_params, raw, n, w_final, h_final))
             spec_holder.update(spec)
             return vec
 
         clip_sh = NamedSharding(self.mesh, P('dp'))
         rep = NamedSharding(self.mesh, P())
-        fn = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)),
-                     in_shardings=(rep, rep, clip_sh, clip_sh),
-                     out_shardings=clip_sh)
+        fn = jax.jit(
+            jax.vmap(one, in_axes=(None, None, 0, 0, None, None)),
+            in_shardings=(rep, rep, clip_sh, clip_sh, rep, rep),
+            out_shardings=clip_sh)
         zeros = lambda tree: jax.tree_util.tree_map(
             lambda v: jax.ShapeDtypeStruct(np.shape(v), v.dtype), tree)
         d = self.mesh.shape['dp']
         jax.eval_shape(fn, zeros(self.variables), zeros(self.tn_params),
                        jax.ShapeDtypeStruct((d, fc_cap, h_orig, w_orig, 3),
                                             jnp.uint8),
-                       jax.ShapeDtypeStruct((d,), jnp.int32))
+                       jax.ShapeDtypeStruct((d,), jnp.int32),
+                       jax.ShapeDtypeStruct((), jnp.int32),
+                       jax.ShapeDtypeStruct((), jnp.int32))
         return fn, dict(spec_holder), t_sel_pad
 
     def dispatch_batch(self, raws, crop_params: dict, *, fps: float,
@@ -276,8 +284,31 @@ class ShardedOneShot:
         sal_hw = sal_dims(w, h, crop_params['max_input_d'])
         cfg = GeometryConfig.from_crop_params(crop_params)
         fn, spec, t_sel_pad = self._compiled(
-            fc_cap, (h, w), sal_hw, cfg, float(fps), int(w_final),
-            int(h_final), int(crop_params['skip']))
+            fc_cap, (h, w), sal_hw, cfg, float(fps),
+            int(crop_params['skip']))
+
+        from retargetvid_tpu.parallel.distributed import global_put, is_multiprocess
+
+        if is_multiprocess():
+            # Multi-controller feed: every process holds the full clip
+            # list (host-replicated by construction); each donates its
+            # addressable dp shards.
+            def pad_np(r):
+                r = np.asarray(r)
+                if r.shape[0] != fc_cap:
+                    r = np.pad(r, ((0, fc_cap - r.shape[0]), (0, 0),
+                                   (0, 0), (0, 0)))
+                return r
+
+            clip_sh = NamedSharding(self.mesh, P('dp'))
+            rep = NamedSharding(self.mesh, P())
+            stacked = global_put(np.stack([pad_np(r) for r in raws]),
+                                 clip_sh)
+            fcs_dev = global_put(np.asarray(fcs, np.int32), clip_sh)
+            vecs = fn(self.variables, self.tn_params, stacked, fcs_dev,
+                      global_put(np.int32(w_final), rep),
+                      global_put(np.int32(h_final), rep))
+            return vecs, spec, fcs, t_sel_pad
 
         def pad(r):
             r = jnp.asarray(r)
@@ -288,15 +319,17 @@ class ShardedOneShot:
 
         vecs = fn(self.variables, self.tn_params,
                   jnp.stack([pad(r) for r in raws]),
-                  jnp.asarray(fcs, jnp.int32))
+                  jnp.asarray(fcs, jnp.int32),
+                  jnp.int32(w_final), jnp.int32(h_final))
         return vecs, spec, fcs, t_sel_pad
 
     def collect_batch(self, ticket) -> list:
         """Fetch + unpack a :meth:`dispatch_batch` ticket (blocks)."""
+        from retargetvid_tpu.parallel.distributed import global_fetch
         from retargetvid_tpu.pipeline.fused import unpack_clip_outputs
 
         vecs, spec, fcs, t_sel_pad = ticket
-        vecs = np.asarray(vecs)
+        vecs = global_fetch(vecs)
         results = []
         for i, fc in enumerate(fcs):
             out = unpack_clip_outputs(vecs[i], spec)

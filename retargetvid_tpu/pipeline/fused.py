@@ -37,18 +37,19 @@ def make_clip_fn(model, *, source: str, dtype,
                  t_border: int, cfg: GeometryConfig,
                  in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                  t_out: int, fps: float, h_orig: int, w_orig: int,
-                 w_final: int, h_final: int,
                  pallas_postprocess: bool = False):
     """The per-clip program body: sampled frames -> boxes + diagnostics.
 
     Pure (traceable) function of the clip's device arrays, reused by the
     single-clip :class:`FusedClipProgram` and vmapped over a clip axis by
-    :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner`.
+    :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner`.  The target
+    dims ``w_final``/``h_final`` ride as TRACED arguments (the last two), so
+    one compiled program serves every output ratio.
     """
 
     def fn(variables, sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
            seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
-           n_segments, fc):
+           n_segments, fc, w_final, h_final):
         # Gather sampled frames (large contiguous rows -> efficient).
         sel = sal_frames[sel_idx]
         x = preprocess_frames(sel, net_hw).astype(dtype)
@@ -152,29 +153,30 @@ class FusedClipProgram:
     def _compiled(self, t_sel_pad: int, t_out: int, s_pad: int,
                   in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                   cfg: GeometryConfig, fps: float,
-                  h_orig: int, w_orig: int, w_final: int, h_final: int):
+                  h_orig: int, w_orig: int):
         from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
         # Parameters are jit ARGUMENTS (see below), so equal-config
         # instances trace the identical program — share it process-wide.
+        # w_final/h_final are traced args too: one program per clip
+        # signature serves BOTH benchmark ratios.
         key = ('fused', repr(self.model), self.source,
                jnp.dtype(self.dtype).name, self.t_border,
                self.pallas_postprocess, tree_signature(self.variables),
                t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
-               h_orig, w_orig, w_final, h_final)
+               h_orig, w_orig)
         return shared_program(key, lambda: self._build(
             t_sel_pad, t_out, s_pad, in_hw, net_hw, cfg, fps,
-            h_orig, w_orig, w_final, h_final))
+            h_orig, w_orig))
 
     def _build(self, t_sel_pad: int, t_out: int, s_pad: int,
                in_hw: Tuple[int, int], net_hw: Tuple[int, int],
                cfg: GeometryConfig, fps: float,
-               h_orig: int, w_orig: int, w_final: int, h_final: int):
+               h_orig: int, w_orig: int):
         fn = make_clip_fn(
             self.model, source=self.source, dtype=self.dtype,
             t_border=self.t_border, cfg=cfg, in_hw=in_hw, net_hw=net_hw,
             t_out=t_out, fps=fps, h_orig=h_orig, w_orig=w_orig,
-            w_final=w_final, h_final=h_final,
             pallas_postprocess=self.pallas_postprocess)
         # Parameters enter as a jit argument: closed-over device arrays would
         # lower as MLIR constants, round-tripping the weights through the
@@ -195,7 +197,7 @@ class FusedClipProgram:
             jnp.int32(0), jnp.zeros(t_sel_pad, jnp.int32),
             jnp.zeros(s_pad, jnp.int32), jnp.zeros(s_pad, jnp.int32),
             jnp.zeros(s_pad, jnp.int32), jnp.zeros(s_pad, jnp.int32),
-            jnp.int32(0), jnp.int32(0))
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
         jax.eval_shape(packed, *zero_args)
         return jax.jit(packed), dict(spec_holder)
 
@@ -233,8 +235,7 @@ class FusedClipProgram:
             return out
 
         fn, spec = self._compiled(t_sel_pad, t_out, s_pad, (h, w), net_hw,
-                                  cfg, float(fps), int(h_orig), int(w_orig),
-                                  int(w_final), int(h_final))
+                                  cfg, float(fps), int(h_orig), int(w_orig))
         vec = fn(self.variables, sal_frames,
                  jnp.asarray(sel_idx), jnp.asarray(sel_mask),
                  jnp.int32(t_sel), jnp.asarray(ti),
@@ -242,7 +243,8 @@ class FusedClipProgram:
                  jnp.asarray(pad_seg(segmentation, 1)),
                  jnp.asarray(pad_seg(segmentation_sel, 0)),
                  jnp.asarray(pad_seg(segmentation_sel, 1)),
-                 jnp.int32(s), jnp.int32(fc))
+                 jnp.int32(s), jnp.int32(fc),
+                 jnp.int32(w_final), jnp.int32(h_final))
         # ONE device->host transfer for all 11 outputs (latency-bound link).
         out = unpack_clip_outputs(np.asarray(vec), spec)
         out['boxes'] = out['boxes'][:fc]

@@ -365,11 +365,20 @@ def geometry_pipeline(smaps, sel_mask, fc_sel, true_inds,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_pipeline(cfg: GeometryConfig, fps: float, h_orig: int,
-                       w_orig: int, w_final: int, h_final: int,
-                       t_out: int):
-    fn = functools.partial(
-        geometry_pipeline, cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
-        w_final=w_final, h_final=h_final, t_out=t_out)
+                       w_orig: int, t_out: int):
+    # w_final/h_final are TRACED arguments (not compile keys): the target
+    # dims only feed compute_crop_boxes' scalar math, so one compiled
+    # program serves every output ratio (the 200x2 benchmark runs two).
+    def fn(smaps, sel_mask, fc_sel, true_inds, seg_starts, seg_ends,
+           seg_sel_starts, seg_sel_ends, n_segments, fc,
+           border_t, border_b, border_l, border_r, w_final, h_final):
+        return geometry_pipeline(
+            smaps, sel_mask, fc_sel, true_inds, seg_starts, seg_ends,
+            seg_sel_starts, seg_sel_ends, n_segments, fc,
+            border_t, border_b, border_l, border_r,
+            cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
+            w_final=w_final, h_final=h_final, t_out=t_out)
+
     return jax.jit(fn)
 
 
@@ -414,7 +423,7 @@ def run_geometry(smaps, true_inds, segmentation,
         return out
 
     fn = _compiled_pipeline(cfg, float(fps), int(h_orig), int(w_orig),
-                            int(w_final), int(h_final), int(t_out))
+                            int(t_out))
     out = fn(smaps_j, jnp.asarray(sel_mask),
              jnp.int32(t_sel), jnp.asarray(ti),
              jnp.asarray(pad_seg(segmentation, 0)),
@@ -423,7 +432,8 @@ def run_geometry(smaps, true_inds, segmentation,
              jnp.asarray(pad_seg(segmentation_sel, 1)),
              jnp.int32(s), jnp.int32(fc),
              jnp.int32(borders[0]), jnp.int32(borders[1]),
-             jnp.int32(borders[2]), jnp.int32(borders[3]))
+             jnp.int32(borders[2]), jnp.int32(borders[3]),
+             jnp.int32(w_final), jnp.int32(h_final))
     maps = out.pop('smaps_filtered')
     out = {k: np.asarray(v) for k, v in out.items()}
     if fetch_maps:

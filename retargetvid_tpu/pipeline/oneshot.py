@@ -123,15 +123,18 @@ def scene_bounds_device(probs, sel_mask, fc: int, s_pad: int,
 def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
                       cfg: GeometryConfig, fc: int, sal_hw, net_hw,
                       t_out: int, t_sel_pad: int, s_pad: int, skip: int,
-                      fps: float, h_orig: int, w_orig: int, w_final: int,
-                      h_final: int, window: int = 100, stride: int = 50,
+                      fps: float, h_orig: int, w_orig: int,
+                      window: int = 100, stride: int = 50,
                       keep: tuple = (25, 75), tn_fullseq: bool = False):
-    """Traceable whole-clip body: (variables, tn_params, raw, n) -> dict.
+    """Traceable whole-clip body:
+    (variables, tn_params, raw, n, w_final, h_final) -> dict.
 
     ``fc`` is the static frame capacity; ``n`` the clip's traced live
-    count (pad ``raw`` with zero frames up to ``fc``).  Shared by
-    :class:`OneShotClipProgram` (n == fc) and the dp-sharded batched
-    variant (``parallel.runner.ShardedOneShot``) which vmaps it.
+    count (pad ``raw`` with zero frames up to ``fc``); the target dims
+    ``w_final``/``h_final`` are traced scalars so one compiled program
+    serves both benchmark ratios.  Shared by :class:`OneShotClipProgram`
+    (n == fc) and the dp-sharded batched variant
+    (``parallel.runner.ShardedOneShot``) which vmaps it.
     """
     from retargetvid_tpu.models.transnet import INPUT_HEIGHT, INPUT_WIDTH
     from retargetvid_tpu.ops.resize import resize, round_half_up
@@ -145,9 +148,9 @@ def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
     clip_fn = make_clip_fn(
         model, source=source, dtype=dtype, t_border=t_border, cfg=cfg,
         in_hw=(sal_h, sal_w), net_hw=net_hw, t_out=t_out, fps=fps,
-        h_orig=h_orig, w_orig=w_orig, w_final=w_final, h_final=h_final)
+        h_orig=h_orig, w_orig=w_orig)
 
-    def body(variables, tn_params, raw, n):
+    def body(variables, tn_params, raw, n, w_final, h_final):
         n = jnp.asarray(n, jnp.int32)
         to_u8 = lambda v: jnp.clip(round_half_up(v), 0,
                                    255).astype(jnp.uint8)
@@ -184,7 +187,7 @@ def make_oneshot_body(model, tn_model, *, source, dtype, t_border,
         fc_sel_c = jnp.minimum(fc_sel, jnp.int32(t_sel_pad))
         sel_live = jnp.arange(t_sel_pad) < fc_sel_c
         out = clip_fn(variables, sal, sel_idx, sel_live, fc_sel_c, ti,
-                      ss, se, sss, sse, n_seg, n)
+                      ss, se, sss, sse, n_seg, n, w_final, h_final)
         out['probs'] = probs
         out['fc_sel'] = fc_sel
         out['n_segments'] = n_seg
@@ -233,23 +236,25 @@ class OneShotClipProgram:
     @functools.lru_cache(maxsize=16)
     def _compiled(self, fc: int, hw: Tuple[int, int],
                   sal_hw: Tuple[int, int], cfg: GeometryConfig,
-                  fps: float, w_final: int, h_final: int, skip: int):
+                  fps: float, skip: int):
         from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
         # Parameters are jit ARGUMENTS, so equal-config instances trace the
         # identical program — share it process-wide (the test suite builds
         # many equal programs; each duplicate trace costs seconds).
+        # w_final/h_final ride as traced args: both benchmark ratios run
+        # the SAME compiled program.
         key = ('oneshot', repr(self.model), repr(self.tn_model), self.source,
                jnp.dtype(self.dtype).name, self.t_border, self.s_pad,
                self.window, self.stride, self.keep, self.tn_fullseq,
                tree_signature(self.variables), tree_signature(self.tn_params),
-               fc, hw, sal_hw, cfg, fps, w_final, h_final, skip)
+               fc, hw, sal_hw, cfg, fps, skip)
         return shared_program(key, lambda: self._build(
-            fc, hw, sal_hw, cfg, fps, w_final, h_final, skip))
+            fc, hw, sal_hw, cfg, fps, skip))
 
     def _build(self, fc: int, hw: Tuple[int, int],
                sal_hw: Tuple[int, int], cfg: GeometryConfig,
-               fps: float, w_final: int, h_final: int, skip: int):
+               fps: float, skip: int):
         h_orig, w_orig = hw
         sal_h, sal_w = sal_hw
         t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
@@ -264,14 +269,15 @@ class OneShotClipProgram:
             t_border=self.t_border, cfg=cfg, fc=fc, sal_hw=(sal_h, sal_w),
             net_hw=net_hw, t_out=t_out, t_sel_pad=t_sel_pad, s_pad=s_pad,
             skip=skip, fps=fps, h_orig=h_orig, w_orig=w_orig,
-            w_final=w_final, h_final=h_final, window=window, stride=stride,
+            window=window, stride=stride,
             keep=keep, tn_fullseq=self.tn_fullseq)
 
         spec_holder = {}
 
-        def fn(variables, tn_params, raw):
+        def fn(variables, tn_params, raw, w_final, h_final):
             vec, spec = pack_clip_outputs(
-                body(variables, tn_params, raw, jnp.int32(fc)))
+                body(variables, tn_params, raw, jnp.int32(fc),
+                     w_final, h_final))
             spec_holder.update(spec)
             return vec
 
@@ -280,7 +286,8 @@ class OneShotClipProgram:
                 lambda v: jnp.zeros(np.shape(v), v.dtype), self.variables),
             jax.tree_util.tree_map(
                 lambda v: jnp.zeros(np.shape(v), v.dtype), self.tn_params),
-            jnp.zeros((fc, h_orig, w_orig, 3), jnp.uint8))
+            jnp.zeros((fc, h_orig, w_orig, 3), jnp.uint8),
+            jnp.int32(0), jnp.int32(0))
         jax.eval_shape(fn, *zero_args)
         return jax.jit(fn), dict(spec_holder)
 
@@ -301,9 +308,9 @@ class OneShotClipProgram:
         sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
         cfg = GeometryConfig.from_crop_params(crop_params)
         fn, spec = self._compiled(fc, (h, w), (sal_h, sal_w), cfg,
-                                  float(fps), int(w_final), int(h_final),
-                                  int(crop_params['skip']))
-        vec = fn(self.variables, self.tn_params, raw_frames)
+                                  float(fps), int(crop_params['skip']))
+        vec = fn(self.variables, self.tn_params, raw_frames,
+                 jnp.int32(w_final), jnp.int32(h_final))
         return vec, spec, fc, int(crop_params['skip'])
 
     def collect(self, ticket) -> dict:

@@ -87,6 +87,7 @@ def test_oneshot_program_shares_equal_configs():
     mk = lambda **kw: OneShotClipProgram(
         tn_model, tn_params, variables=un_vars, model=un,
         dtype=jnp.float32, s_pad=4, **kw)
-    args = (24, (48, 80), (48, 80), cfg, 6.0, 16, 48, int(cp['skip']))
+    # w_final/h_final are traced args since round 5, not compile keys.
+    args = (24, (48, 80), (48, 80), cfg, 6.0, int(cp['skip']))
     assert mk()._compiled(*args) is mk()._compiled(*args)
     assert mk(tn_fullseq=True)._compiled(*args) is not mk()._compiled(*args)
