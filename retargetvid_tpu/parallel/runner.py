@@ -190,7 +190,9 @@ class ShardedOneShot:
                  model: Optional[UNISAL] = None, source: str = 'SALICON',
                  dtype=jnp.bfloat16, rng_seed: int = 0, t_border: int = -1,
                  s_pad: int = 8, window: int = 100, stride: int = 50,
-                 keep: tuple = (25, 75), tn_fullseq: bool = False):
+                 keep: tuple = (25, 75), tn_fullseq: bool = False,
+                 fc_bucket: Optional[int] = None,
+                 t_sel_bucket: Optional[int] = None):
         self.mesh = mesh
         self.tn_model = tn_model
         self.model = model or UNISAL()
@@ -202,6 +204,13 @@ class ShardedOneShot:
         self.stride = stride
         self.keep = keep
         self.tn_fullseq = tn_fullseq
+        #: Optional static-capacity overrides below the default bucket table
+        #: (min 32): short-clip workloads (and the driver dryrun) pay padded
+        #: geometry work proportional to these capacities, so a caller that
+        #: KNOWS its clips are tiny can shrink the program.  A clip
+        #: exceeding them falls back like any other overrun.
+        self.fc_bucket = fc_bucket
+        self.t_sel_bucket = t_sel_bucket
         if variables is None:
             x0 = jnp.zeros((1, 1, 224, 416, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(rng_seed), x0,
@@ -220,7 +229,8 @@ class ShardedOneShot:
         key = ('sharded-oneshot', self.mesh, repr(self.model),
                repr(self.tn_model), self.source, jnp.dtype(self.dtype).name,
                self.t_border, self.s_pad, self.window, self.stride,
-               self.keep, self.tn_fullseq, tree_signature(self.variables),
+               self.keep, self.tn_fullseq, self.t_sel_bucket,
+               tree_signature(self.variables),
                tree_signature(self.tn_params),
                fc_cap, hw, sal_hw, cfg, fps, skip)
         return shared_program(key, lambda: self._build(
@@ -232,12 +242,14 @@ class ShardedOneShot:
         from retargetvid_tpu.pipeline.oneshot import make_oneshot_body
 
         h_orig, w_orig = hw
-        t_sel_pad = bucket_size(fc_cap // skip + 2 + self.s_pad)
+        t_sel_pad = self.t_sel_bucket or \
+            bucket_size(fc_cap // skip + 2 + self.s_pad)
         net_hw = get_optimal_out_size(sal_hw)
         body = make_oneshot_body(
             self.model, self.tn_model, source=self.source,
             dtype=self.dtype, t_border=self.t_border, cfg=cfg, fc=fc_cap,
-            sal_hw=sal_hw, net_hw=net_hw, t_out=bucket_size(fc_cap),
+            sal_hw=sal_hw, net_hw=net_hw,
+            t_out=fc_cap if self.fc_bucket else bucket_size(fc_cap),
             t_sel_pad=t_sel_pad, s_pad=self.s_pad, skip=skip, fps=fps,
             h_orig=h_orig, w_orig=w_orig,
             window=self.window, stride=self.stride, keep=self.keep,
@@ -280,7 +292,10 @@ class ShardedOneShot:
 
         fcs = [int(r.shape[0]) for r in raws]
         h, w = int(raws[0].shape[1]), int(raws[0].shape[2])
-        fc_cap = bucket_size(max(fcs))
+        if self.fc_bucket and max(fcs) <= self.fc_bucket:
+            fc_cap = self.fc_bucket
+        else:
+            fc_cap = bucket_size(max(fcs))
         sal_hw = sal_dims(w, h, crop_params['max_input_d'])
         cfg = GeometryConfig.from_crop_params(crop_params)
         fn, spec, t_sel_pad = self._compiled(
