@@ -116,6 +116,7 @@ def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
         import pickle
         with open(args.transnet_weights, 'rb') as fp:
             tn_params = pickle.load(fp)
+        print(f' loaded TransNet weights from {args.transnet_weights}')
     else:
         tn_params = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
@@ -133,6 +134,10 @@ def cmd_benchmark_sharded(args, vid_paths, results_out, annots, crop_params):
         if isinstance(sd, dict) and 'model_state_dict' in sd:
             sd = sd['model_state_dict']
         variables = load_unisal_variables(UNISAL(), sd)
+        print(f' loaded UNISAL weights from {args.unisal_weights}')
+    else:
+        print(' WARNING: no --unisal-weights; using random init '
+              '(throughput runs only)')
     runner = ShardedClipRunner(mesh, variables=variables)
 
     # Pipelined ingest/compute: worker threads decode + shot-detect the next
@@ -258,6 +263,7 @@ def _load_oneshot_models(args):
         import pickle
         with open(args.transnet_weights, 'rb') as fp:
             tn_params = pickle.load(fp)
+        print(f' loaded TransNet weights from {args.transnet_weights}')
     else:
         tn_params = tn_model.init(jax.random.PRNGKey(0),
                                   jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
@@ -272,6 +278,10 @@ def _load_oneshot_models(args):
         if isinstance(sd, dict) and 'model_state_dict' in sd:
             sd = sd['model_state_dict']
         variables = load_unisal_variables(UNISAL(), sd)
+        print(f' loaded UNISAL weights from {args.unisal_weights}')
+    else:
+        print(' WARNING: no --unisal-weights; using random init '
+              '(throughput runs only)')
     return tn_model, tn_params, variables
 
 

@@ -74,7 +74,11 @@ def _full_transnet_tf_shapes():
     return shapes
 
 
-def _write_clip(path, n=36, h=360, w=640, phase=0.0):
+def _write_clip(path, n=24, h=360, w=640, phase=0.0):
+    # 24 frames: one below the 32-frame capacity bucket — the smallest
+    # program shapes that still exercise multi-pick sampling, both ratios'
+    # geometry and the eval frame-count mismatch path (real annotations
+    # have hundreds of frames).
     yy, xx = np.mgrid[0:h, 0:w]
     writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*'mp4v'),
                              30.0, (w, h))
@@ -88,26 +92,111 @@ def _write_clip(path, n=36, h=360, w=640, phase=0.0):
     writer.release()
 
 
+def _stable_unisal_sd():
+    """A ``weights_best.pth``-layout state_dict whose static forward is an
+    exactly LINEAR, contractive function: saliency == Gaussian-blurred input
+    luminance.
+
+    Why engineered values: a pseudo-random full-width UNISAL emits either
+    delta-peaked or decorrelating maps — the bf16 one-dispatch arm and the
+    f32 streaming arm then diverge chaotically (an He-init random net
+    propagates a 1-LSB input delta at O(1) relative magnitude), and a
+    box-for-box cross-arm assert is noise, not a contract.  Real trained
+    checkpoints are in the smooth stable regime (docs/PARITY.md), so the
+    mock is put there by construction:
+
+    - every BatchNorm: running stats (0, 1), affine (1, 0) — pass-through;
+    - every conv: center-tap channel passthrough (out ``o`` reads in
+      ``o % in_c``) — the first conv averages RGB, so the signal is
+      luminance; ReLU6 only clips the (negative) background to 0;
+    - inverted-residual blocks WITH a skip: final projection conv zeroed —
+      the block is an exact identity (out = x + 0);
+    - ``smoothing``: the reference's own fixed Gaussian init
+      (``model.py:264-272``; rank-1, so the loader's SVD factorization is
+      exact);
+    - ``adaptation``: uniform positive 1x1 readout (2/64 per channel) —
+      field amplitude O(4), sharp enough for content-driven boxes, smooth
+      enough that the threshold mask spans the blob.
+
+    The values are deterministic and flow through the SAME torch
+    ``state_dict`` load path as the released checkpoint
+    (``models/torch_import.py``) — built on the reference's own vendored
+    module (``tests/reference_oracles.py``) so the key set is exactly the
+    released layout."""
+    import torch
+    from torch import nn
+
+    from reference_oracles import make_reference_unisal
+
+    from retargetvid_tpu.models.unisal import smoothing_kernel_init
+
+    net = make_reference_unisal(seed=0)
+    with torch.no_grad():
+        for mod in net.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.weight.fill_(1.0)
+                mod.bias.zero_()
+                mod.running_mean.zero_()
+                mod.running_var.fill_(1.0)
+            elif isinstance(mod, nn.Conv2d):
+                w = mod.weight
+                w.zero_()
+                out_c, in_pg, kh, kw = w.shape
+                for o in range(out_c):
+                    w[o, o % in_pg, kh // 2, kw // 2] = 1.0
+                if mod.bias is not None:
+                    mod.bias.zero_()
+        # Blocks with a residual skip: zero the projection conv -> exact
+        # identity.  (Covers both the MobileNetV2 backbone blocks and the
+        # decoder's inverted-residual reuse.)
+        for mod in net.modules():
+            if getattr(mod, 'use_res_connect', False):
+                last_conv = [m for m in mod.modules()
+                             if isinstance(m, nn.Conv2d)][-1]
+                last_conv.weight.zero_()
+                if last_conv.bias is not None:
+                    last_conv.bias.zero_()
+        gauss = torch.from_numpy(
+            smoothing_kernel_init(41).astype(np.float32).reshape(41, 41))
+        sd = net.state_dict()
+        for k in sd:
+            if k.startswith('smoothing'):
+                sd[k] = gauss.reshape(sd[k].shape).clone()
+            elif k.startswith('adaptation') and k.endswith('weight'):
+                sd[k] = torch.full_like(sd[k], 2.0 / sd[k].shape[1])
+            elif k.startswith('adaptation') and k.endswith('bias'):
+                sd[k] = torch.zeros_like(sd[k])
+    return sd
+
+
 def _synth_assets(tmp_path):
     """Step 0 of the runbook: mock assets in the reference's released
-    layouts — a torch ``weights_best.pth`` (reference state_dict key set,
-    harvested in tests/fixtures/unisal_sd_shapes.json, deterministically
-    synthesized per key), the TransNet converter's pickle artifact (full
-    TF variable set through ``tools/convert_transnet.map_variables``), and
-    two synthetic DHF1K-named videos (one from each benchmark index range
-    so annotation-driven flows engage)."""
+    layouts — a torch ``weights_best.pth`` (reference key set via the
+    vendored module itself, values engineered for the smooth stable map
+    regime — `_stable_unisal_sd`), the TransNet converter's pickle
+    artifact (full TF variable set through
+    ``tools/convert_transnet.map_variables``), and two synthetic
+    DHF1K-named videos (one from each benchmark index range so
+    annotation-driven flows engage)."""
     torch = pytest.importorskip('torch')
     fixgen = _load_tool('make_conversion_fixtures')
     conv = _load_tool('convert_transnet')
 
-    shapes = json.loads((FIXTURES / 'unisal_sd_shapes.json').read_text())
-    sd = {k: torch.from_numpy(fixgen.synth_value(k, sh, dt))
-          for k, (sh, dt) in shapes.items()}
+    sd = _stable_unisal_sd()
     weights_pth = tmp_path / 'weights_best.pth'
     torch.save(sd, weights_pth)
 
     tf_shapes = _full_transnet_tf_shapes()
     tensors = {n: fixgen.synth_value(n, sh) for n, sh in tf_shapes.items()}
+    # Tame the synthesized net's shot decisions: a raw pseudo-random
+    # TransNet fires "cut" on ~half the frames with per-frame logits near
+    # the threshold, so resize-path fp noise flips decisions between the
+    # oneshot and streaming arms (the same effect tools/parity_oneshot.py
+    # calibrates away — its docstring).  Shifting the final dense bias
+    # pushes every frame robustly below threshold (single-shot regime);
+    # the conversion MAPPING under test is untouched — the bias flows
+    # through map_variables like any real checkpoint value.
+    tensors['TransNet/dense_1/bias'] = np.asarray([5.0, -5.0], np.float32)
     tn_variables = conv.map_variables(tensors.__getitem__)
     tn_pkl = tmp_path / 'transnet.pkl'
     with open(tn_pkl, 'wb') as fp:
@@ -130,8 +219,11 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     # per-video 6-user eval engages (smartVidCrop.py:2798-2836).  Only the
     # asset paths are substituted (plus --annotations-extract because the
     # reference tree is read-only here).
+    import time as _time
+
     from retargetvid_tpu.cli import main
     out_dir = tmp_path / 'results'
+    _t0 = _time.monotonic()
     main(['benchmark',
           '--videos', str(vids),
           '--out', str(out_dir),
@@ -143,6 +235,7 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
           '--annotations-extract', str(tmp_path / 'annots'),
           '--oneshot'])
     console = capsys.readouterr().out
+    print(f'[preflight] oneshot arm: {_time.monotonic() - _t0:.0f}s')
     assert 'loaded UNISAL weights' in console
     assert 'loaded TransNet weights' in console
     assert 'WARNING: no --unisal-weights' not in console
@@ -153,7 +246,7 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     for vid in ('001', '601'):
         for ar in ('1-3', '3-1'):
             boxes = read_boxes_file(run / f'{vid}_{ar}.txt')
-            assert boxes.shape == (36, 4)
+            assert boxes.shape == (24, 4)
             info = (run / f'{vid}_{ar}_info.txt').read_text()
             assert 'result:smart cropped' in info
             assert 't_total' in info and '%' in info
@@ -167,6 +260,7 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
     # --- "drop it for the streaming 2-dispatch path" (the runbook's
     # stated alternative): same command without --oneshot must produce
     # the same result tree (1:3 bounds the extra full-width compiles).
+    _t0 = _time.monotonic()
     main(['benchmark',
           '--videos', str(vids),
           '--out', str(out_dir),
@@ -176,6 +270,7 @@ def test_preflight_runbook(reference_dir, tmp_path, capsys):
           '--transnet-weights', str(tn_pkl),
           '--chunk', '8'])
     capsys.readouterr()
+    print(f'[preflight] streaming arm: {_time.monotonic() - _t0:.0f}s')
     for vid in ('001', '601'):
         one = read_boxes_file(run / f'{vid}_1-3.txt')
         seq = read_boxes_file(out_dir / 'streaming' / f'{vid}_1-3.txt')
