@@ -333,16 +333,17 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
         tn_fullseq=crop_params.get('tpu_transnet_fullseq', False))
 
     def _finish(pend):
-        """Collect a dispatched clip, write its outputs, eval inline."""
-        (ticket, cp, vid_path, vid_fn, ar, txt, info_path, meta, dest,
-         fc, t_read, t_disp) = pend
+        """Collect a dispatched clip, write EVERY ratio's outputs, eval
+        inline.  ``jobs``: [(ar, cp, txt, info_path, dest), ...] — all the
+        ratios served by the single multi-ratio dispatch."""
+        (ticket, vid_path, vid_fn, jobs, meta, fc, t_read, t_disp) = pend
         fps, w, h = meta['fps'], meta['width'], meta['height']
-        boxes = None
+        outs = None
+        t_dev = t_disp
         if ticket is not None:
             t0 = _time.perf_counter()
             try:
-                out = program.collect(ticket)
-                boxes = out['boxes']
+                outs = program.collect_multi(ticket)
             except ValueError as exc:
                 print(f' oneshot fallback: {exc}')
             # Host-attributed device time: the dispatch call plus the
@@ -350,29 +351,33 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
             # clip's decode (that overlap is the point of the pipeline),
             # so dispatch->collect wall would double-count it.
             t_dev = t_disp + (_time.perf_counter() - t0)
-        if boxes is None:
-            # Streaming fallback: the sequential reference path.
-            from retargetvid_tpu.pipeline.crop import smart_vid_crop
-            transnet_fn, saliency_fn = _build_models(args)
-            vd, res = smart_vid_crop(vid_path, cp, save_vid=False,
-                                     transnet_fn=transnet_fn,
-                                     saliency_fn=saliency_fn)
-            boxes = np.asarray(vd['bbs'], int)
-            with open(info_path, 'w') as fp:
-                for k, v in res.items():
-                    fp.write(f'{k}:{v}\n')
-        else:
-            from retargetvid_tpu.pipeline.ingest import sal_dims
-            info = _oneshot_info(
-                cp, result='smart cropped (oneshot)', h=h, w=w,
-                sal_hw=sal_dims(w, h, cp['max_input_d']), dest=dest,
-                boxes=boxes, fc=fc, fps=fps, t_read=t_read,
-                t_dev=t_dev)
-            with open(info_path, 'w') as fp:
-                for k, v in info.items():
-                    fp.write(f'{k}:{v}\n')
-        write_boxes_file(txt, np.asarray(boxes, int))
-        _eval_inline(annots, vid_fn, ar, boxes)
+        for r, (ar, cp, txt, info_path, dest) in enumerate(jobs):
+            if outs is None:
+                # Streaming fallback: the sequential reference path.
+                from retargetvid_tpu.pipeline.crop import smart_vid_crop
+                transnet_fn, saliency_fn = _build_models(args)
+                vd, res = smart_vid_crop(vid_path, cp, save_vid=False,
+                                         transnet_fn=transnet_fn,
+                                         saliency_fn=saliency_fn)
+                boxes = np.asarray(vd['bbs'], int)
+                with open(info_path, 'w') as fp:
+                    for k, v in res.items():
+                        fp.write(f'{k}:{v}\n')
+            else:
+                from retargetvid_tpu.pipeline.ingest import sal_dims
+                boxes = outs[r]['boxes']
+                # Decode + device time amortize across the ratios served
+                # by the one dispatch (the whole point of the sharing).
+                info = _oneshot_info(
+                    cp, result='smart cropped (oneshot)', h=h, w=w,
+                    sal_hw=sal_dims(w, h, cp['max_input_d']), dest=dest,
+                    boxes=boxes, fc=fc, fps=fps,
+                    t_read=t_read / len(jobs), t_dev=t_dev / len(jobs))
+                with open(info_path, 'w') as fp:
+                    for k, v in info.items():
+                        fp.write(f'{k}:{v}\n')
+            write_boxes_file(txt, np.asarray(boxes, int))
+            _eval_inline(annots, vid_fn, ar, boxes)
 
     # One-deep pipeline: dispatch video k, decode video k+1 while the chip
     # runs k, only then collect k (the bench's pipelined protocol — all-
@@ -383,11 +388,16 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
     # fires, so the sequential fallback still engages per clip.
     pending = None
     ars = args.ratios.split(',')
-    for ar in ars:
-        cp = dict(crop_params)
-        cp['out_ratio'] = ar
-        for i, vid_path in enumerate(vid_paths):
-            vid_fn = Path(vid_path).stem
+    for i, vid_path in enumerate(vid_paths):
+        vid_fn = Path(vid_path).stem
+        # One decode + ONE dispatch per video serving every ratio still
+        # missing on disk: the multi-ratio program shares the ingest
+        # resizes, the TransNet plan and the UNISAL forward across ratios
+        # (pipeline.oneshot.dispatch_multi) — vs. the reference's
+        # per-ratio loop, which re-reads and re-infers unless its on-disk
+        # vid_data cache is warm.
+        jobs = []
+        for ar in ars:
             suffix = f"{vid_fn}_{ar.replace(':', '-')}"
             txt = results_out / f'{suffix}.txt'
             info_path = results_out / f'{suffix}_info.txt'
@@ -395,31 +405,38 @@ def cmd_benchmark_oneshot(args, vid_paths, results_out, annots, crop_params):
                     not args.replace_existing:
                 print(f' skipping {suffix}')
                 continue
-            print(f'\n video ({i + 1}/{len(vid_paths)}): {vid_path} [{ar}]')
-            meta = probe_video(vid_path)
-            fps, w, h = meta['fps'], meta['width'], meta['height']
-            dest = calc_dest_size(w, h, ar)
-            t0 = _time.perf_counter()
-            reader = open_reader(vid_path)
-            parts = [jnp.asarray(chunk) for chunk, _ in reader.chunks(256)]
-            reader.stop()
-            raw = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            t_read = _time.perf_counter() - t0
-            fc = int(raw.shape[0])
-            ticket = None
-            t0 = _time.perf_counter()
-            if fc <= cp['read_batch']:
-                try:
-                    ticket = program.dispatch(raw, cp, fps=fps,
-                                              w_final=dest['w_final'],
-                                              h_final=dest['h_final'])
-                except ValueError as exc:
-                    print(f' oneshot fallback: {exc}')
-            t_disp = _time.perf_counter() - t0
-            if pending is not None:
-                _finish(pending)
-            pending = (ticket, cp, vid_path, vid_fn, ar, txt, info_path,
-                       meta, dest, fc, t_read, t_disp)
+            cp = dict(crop_params)
+            cp['out_ratio'] = ar
+            jobs.append((ar, cp, txt, info_path))
+        if not jobs:
+            continue
+        print(f'\n video ({i + 1}/{len(vid_paths)}): {vid_path} '
+              f'[{",".join(j[0] for j in jobs)}]')
+        meta = probe_video(vid_path)
+        fps, w, h = meta['fps'], meta['width'], meta['height']
+        jobs = [(ar, cp, txt, info_path, calc_dest_size(w, h, ar))
+                for ar, cp, txt, info_path in jobs]
+        t0 = _time.perf_counter()
+        reader = open_reader(vid_path)
+        parts = [jnp.asarray(chunk) for chunk, _ in reader.chunks(256)]
+        reader.stop()
+        raw = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        t_read = _time.perf_counter() - t0
+        fc = int(raw.shape[0])
+        ticket = None
+        t0 = _time.perf_counter()
+        if fc <= crop_params['read_batch']:
+            try:
+                ticket = program.dispatch_multi(
+                    raw, jobs[0][1], fps=fps,
+                    dests=[(d['w_final'], d['h_final'])
+                           for _, _, _, _, d in jobs])
+            except ValueError as exc:
+                print(f' oneshot fallback: {exc}')
+        t_disp = _time.perf_counter() - t0
+        if pending is not None:
+            _finish(pending)
+        pending = (ticket, vid_path, vid_fn, jobs, meta, fc, t_read, t_disp)
     if pending is not None:
         _finish(pending)
 

@@ -45,6 +45,15 @@ def make_clip_fn(model, *, source: str, dtype,
     :class:`retargetvid_tpu.parallel.runner.ShardedClipRunner`.  The target
     dims ``w_final``/``h_final`` ride as TRACED arguments (the last two), so
     one compiled program serves every output ratio.
+
+    Multi-ratio: pass ``w_final``/``h_final`` as shape-(R,) vectors and the
+    geometry tail is vmapped over the R targets while the expensive
+    ratio-INDEPENDENT work (frame gather, preprocess, the UNISAL forward,
+    border detection) runs once — the reference's benchmark recomputes
+    saliency per ratio unless its on-disk ``vid_data`` cache is warm
+    (``smartVidCrop.py`` per-ratio loop); here the sharing happens inside
+    one device program.  Ratio-dependent outputs then carry a leading R
+    axis; ``mean_sal`` stays shared.
     """
 
     def fn(variables, sal_frames, sel_idx, sel_mask, fc_sel, true_inds,
@@ -79,14 +88,22 @@ def make_clip_fn(model, *, source: str, dtype,
         borders = border_detection(smaps, t_border, h_orig, w_orig)
         mean_sal, _ = mean_saliency(smaps)
 
-        out = geometry_pipeline(
-            smaps, sel_mask, fc_sel, true_inds,
-            seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
-            n_segments, fc,
-            borders['border_t'], borders['border_b'],
-            borders['border_l'], borders['border_r'],
-            cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
-            w_final=w_final, h_final=h_final, t_out=t_out)
+        def geo(wf, hf):
+            return geometry_pipeline(
+                smaps, sel_mask, fc_sel, true_inds,
+                seg_starts, seg_ends, seg_sel_starts, seg_sel_ends,
+                n_segments, fc,
+                borders['border_t'], borders['border_b'],
+                borders['border_l'], borders['border_r'],
+                cfg=cfg, fps=fps, h_orig=h_orig, w_orig=w_orig,
+                w_final=wf, h_final=hf, t_out=t_out)
+
+        if jnp.ndim(w_final) == 0:
+            out = geo(w_final, h_final)
+        else:
+            # Multi-ratio: vmap ONLY the geometry tail over the R targets;
+            # smaps/borders are closed over (broadcast, computed once).
+            out = jax.vmap(geo)(jnp.asarray(w_final), jnp.asarray(h_final))
         return {'boxes': out['boxes'], 'mean_sal': mean_sal,
                 'dx': out['dx'], 'dy': out['dy'],
                 'dxs': out['dxs'], 'dys': out['dys'],

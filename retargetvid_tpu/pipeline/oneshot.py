@@ -236,25 +236,27 @@ class OneShotClipProgram:
     @functools.lru_cache(maxsize=16)
     def _compiled(self, fc: int, hw: Tuple[int, int],
                   sal_hw: Tuple[int, int], cfg: GeometryConfig,
-                  fps: float, skip: int):
+                  fps: float, skip: int, n_ratios: int = 0):
         from retargetvid_tpu.utils.cache import shared_program, tree_signature
 
         # Parameters are jit ARGUMENTS, so equal-config instances trace the
         # identical program — share it process-wide (the test suite builds
         # many equal programs; each duplicate trace costs seconds).
         # w_final/h_final ride as traced args: both benchmark ratios run
-        # the SAME compiled program.
+        # the SAME compiled program.  n_ratios == 0 -> scalar targets; >= 1
+        # -> shape-(R,) targets with the geometry tail vmapped (the
+        # saliency/TransNet work is shared across the R ratios).
         key = ('oneshot', repr(self.model), repr(self.tn_model), self.source,
                jnp.dtype(self.dtype).name, self.t_border, self.s_pad,
                self.window, self.stride, self.keep, self.tn_fullseq,
                tree_signature(self.variables), tree_signature(self.tn_params),
-               fc, hw, sal_hw, cfg, fps, skip)
+               fc, hw, sal_hw, cfg, fps, skip, n_ratios)
         return shared_program(key, lambda: self._build(
-            fc, hw, sal_hw, cfg, fps, skip))
+            fc, hw, sal_hw, cfg, fps, skip, n_ratios))
 
     def _build(self, fc: int, hw: Tuple[int, int],
                sal_hw: Tuple[int, int], cfg: GeometryConfig,
-               fps: float, skip: int):
+               fps: float, skip: int, n_ratios: int = 0):
         h_orig, w_orig = hw
         sal_h, sal_w = sal_hw
         t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
@@ -281,13 +283,15 @@ class OneShotClipProgram:
             spec_holder.update(spec)
             return vec
 
+        zero_wh = (jnp.int32(0) if n_ratios == 0
+                   else jnp.zeros((n_ratios,), jnp.int32))
         zero_args = (
             jax.tree_util.tree_map(
                 lambda v: jnp.zeros(np.shape(v), v.dtype), self.variables),
             jax.tree_util.tree_map(
                 lambda v: jnp.zeros(np.shape(v), v.dtype), self.tn_params),
             jnp.zeros((fc, h_orig, w_orig, 3), jnp.uint8),
-            jnp.int32(0), jnp.int32(0))
+            zero_wh, zero_wh)
         jax.eval_shape(fn, *zero_args)
         return jax.jit(fn), dict(spec_holder)
 
@@ -334,3 +338,55 @@ class OneShotClipProgram:
         """(fc, H, W, 3) uint8 device frames -> outputs dict (ONE fetch)."""
         return self.collect(self.dispatch(raw_frames, crop_params, fps=fps,
                                           w_final=w_final, h_final=h_final))
+
+    def dispatch_multi(self, raw_frames, crop_params: dict, *, fps: float,
+                       dests):
+        """Enqueue ONE program computing boxes for R output ratios.
+
+        ``dests``: sequence of (w_final, h_final).  Ingest resizes, the
+        TransNet plan, sampling/scene scans and the UNISAL forward run
+        ONCE; only the geometry tail is replicated (vmapped) per ratio —
+        for the reference benchmark's 2-ratio protocol this does the 2x
+        saliency work of the per-ratio loop once (the reference gets the
+        same sharing only via its on-disk ``vid_data`` feature cache,
+        ``smartVidCrop.py`` per-ratio loop)."""
+        from retargetvid_tpu.pipeline.ingest import sal_dims
+
+        fc, h, w = (int(raw_frames.shape[0]), int(raw_frames.shape[1]),
+                    int(raw_frames.shape[2]))
+        sal_h, sal_w = sal_dims(w, h, crop_params['max_input_d'])
+        cfg = GeometryConfig.from_crop_params(crop_params)
+        dests = list(dests)
+        fn, spec = self._compiled(fc, (h, w), (sal_h, sal_w), cfg,
+                                  float(fps), int(crop_params['skip']),
+                                  n_ratios=len(dests))
+        wf = jnp.asarray([int(d[0]) for d in dests], jnp.int32)
+        hf = jnp.asarray([int(d[1]) for d in dests], jnp.int32)
+        vec = fn(self.variables, self.tn_params, raw_frames, wf, hf)
+        return vec, spec, fc, int(crop_params['skip']), len(dests)
+
+    def collect_multi(self, ticket) -> list:
+        """Fetch a :meth:`dispatch_multi` ticket -> one outputs dict per
+        ratio (ratio-independent keys repeated in each)."""
+        vec, spec, fc, skip, n_ratios = ticket
+        out = unpack_clip_outputs(np.asarray(vec), spec)
+        fc_sel = int(out['fc_sel'])
+        n_segments = int(out['n_segments'])
+        t_sel_pad = bucket_size(fc // skip + 2 + self.s_pad)
+        if n_segments > self.s_pad or fc_sel > t_sel_pad:
+            raise ValueError(
+                f'clip exceeds one-shot static bounds '
+                f'({n_segments} shots > s_pad={self.s_pad} or '
+                f'{fc_sel} picks > t_sel_pad={t_sel_pad}); '
+                'use the 2-dispatch path')
+        ratio_keys = ('boxes', 'dx', 'dy', 'dxs', 'dys', 'dxi', 'dyi',
+                      'jumps', 'fbb_w', 'fbb_h')
+        outs = []
+        for r in range(n_ratios):
+            o = {k: (v[r] if k in ratio_keys else v)
+                 for k, v in out.items()}
+            o['boxes'] = np.asarray(o['boxes'])[:fc].astype(np.int32)
+            o['fc_sel'] = fc_sel
+            o['n_segments'] = n_segments
+            outs.append(o)
+        return outs

@@ -212,6 +212,66 @@ def test_oneshot_fullseq_matches_windowed_decisions():
                                atol=0.05)
 
 
+def test_oneshot_multi_ratio_matches_per_ratio():
+    """dispatch_multi (ONE program serving R ratios, geometry tail vmapped,
+    saliency/TransNet shared) == per-ratio run() for every ratio."""
+    from retargetvid_tpu.config import sc_init_crop_params
+    from retargetvid_tpu.models.transnet import TransNetV1
+    from retargetvid_tpu.models.unisal import UNISAL
+    from retargetvid_tpu.ops.boxes import calc_dest_size
+    from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
+
+    from conftest import TINY_UNISAL_CFG
+
+    # Same shapes/models as test_oneshot_program_matches_two_dispatch so
+    # the scalar one-shot program is shared within the session.
+    fc, h, w = 60, 90, 160
+    cp = sc_init_crop_params()
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((fc, h, w, 3), np.uint8)
+    for t in range(fc):
+        cx = w * (0.2 + 0.6 * t / fc) if t < fc // 2 else w * 0.75
+        blob = 225 * np.exp(-(((yy - h * 0.5) ** 2 +
+                               (xx - cx) ** 2) / 250.0))
+        frames[t] = np.clip(blob[..., None] +
+                            (10 if t < fc // 2 else 60), 0,
+                            255).astype(np.uint8)
+    frames_dev = jnp.asarray(frames)
+
+    tn_model = TransNetV1(f=2, l=3, s=2, d=16)
+    tn_params = tn_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 27, 48, 3), jnp.uint8))
+    tn_params = jax.tree_util.tree_map(lambda v: v, tn_params)
+    tn_params['params']['dense2']['bias'] = jnp.asarray([5.0, -5.0])
+    un_model = UNISAL(**TINY_UNISAL_CFG)
+    un_vars = un_model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 1, 224, 416, 3), jnp.float32),
+                            static=True)
+    program = OneShotClipProgram(tn_model, tn_params, variables=un_vars,
+                                 model=un_model, dtype=jnp.float32)
+
+    ratios = ('1:3', '3:1')
+    dests = [calc_dest_size(w, h, ar) for ar in ratios]
+    singles = [program.run(frames_dev, cp, fps=30.0,
+                           w_final=d['w_final'], h_final=d['h_final'])
+               for d in dests]
+    multi = program.collect_multi(program.dispatch_multi(
+        frames_dev, cp, fps=30.0,
+        dests=[(d['w_final'], d['h_final']) for d in dests]))
+
+    assert len(multi) == len(ratios)
+    for single, m in zip(singles, multi):
+        assert m['fc_sel'] == single['fc_sel']
+        assert m['n_segments'] == single['n_segments']
+        # Same math; the vmapped geometry tail may reassociate fp
+        # reductions (same tolerance as the oneshot-vs-streaming tests).
+        assert np.abs(np.asarray(m['boxes']) -
+                      np.asarray(single['boxes'])).max() <= 1
+        np.testing.assert_allclose(m['probs'][:fc], single['probs'][:fc],
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_oneshot_pipelined_dispatch_matches_run():
     """dispatch-all-then-collect (the bench.py BENCH_PIPELINE protocol and
     the production serving pattern) == the synchronous per-clip run()."""
