@@ -21,16 +21,17 @@ if "xla_force_host_platform_device_count" not in _flags:
 # on this 1-core host (measured: test_pipeline_fused cold 146 s -> 80 s at
 # level 0) with every numeric-parity test (incl. exact box equality across
 # program variants and the hermetic conversion goldens) still green.
-# Production TPU compiles are unaffected.  But level 0 also disables LLVM
-# vectorization, so EXECUTION-bound tests (full-width model forwards in
-# the preflight runbook) crawl; level 1 keeps most of the compile-speed
-# win while restoring vectorized codegen.  RTV_TEST_OPTLEVEL overrides
-# (e.g. =3 for execution-bound measurement A/Bs at the default pipeline).
+# Production TPU compiles are unaffected.  Earlier rounds ALSO passed
+# --xla_llvm_disable_expensive_passes, which is what actually killed LLVM
+# vectorization — NOT level 0 itself.  Level 0 with the full LLVM pipeline
+# is strictly better on this host (A/B on the oneshot parity test, cold
+# fresh cache dir: lvl1+disable 132 s / lvl1 full 122 s / lvl0 full 104 s;
+# full-width 24-frame UNISAL forward: 40.4 s -> 31.9 s).
+# RTV_TEST_OPTLEVEL overrides (e.g. =3 for execution-bound measurement
+# A/Bs at the default pipeline).
 if "xla_backend_optimization_level" not in _flags:
-    _lvl = os.environ.get("RTV_TEST_OPTLEVEL", "1")
+    _lvl = os.environ.get("RTV_TEST_OPTLEVEL", "0")
     _flags += f" --xla_backend_optimization_level={_lvl}"
-    if _lvl in ("0", "1"):
-        _flags += " --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = _flags
 
 import jax

@@ -283,9 +283,6 @@ class TestDynamicVideoPredictor:
     (reference train.py:425-556)."""
 
     def test_chunked_carryover_matches_single_pass(self):
-        import jax
-        import jax.numpy as jnp
-
         from retargetvid_tpu.models.unisal import UNISAL
         from retargetvid_tpu.pipeline.saliency import SaliencyPredictor
 
@@ -299,26 +296,17 @@ class TestDynamicVideoPredictor:
         assert maps.dtype == np.uint8
         assert maps.max() > 0
 
-        # One offset processed whole == processed in carried chunks.
-        from retargetvid_tpu.pipeline.saliency import (
-            get_optimal_out_size,
-            preprocess_frames,
-        )
-        net_hw = get_optimal_out_size((h, w))
-        idx = [0, 3, 6]
-        x = jnp.asarray(preprocess_frames(frames[idx], net_hw))[None]
-        whole, _ = pred.model.apply(pred.variables, x, target_size=(h, w),
-                                    source='DHF1K', static=False)
-        whole = np.asarray(whole[0, :, :, :, 0])
-        part = []
-        h0 = None
-        for s in range(0, 3, 2):
-            xs = x[:, s:s + 2]
-            lp, h0 = pred.model.apply(pred.variables, xs, target_size=(h, w),
-                                      source='DHF1K', static=False, h0=h0)
-            part.append(np.asarray(lp[0, :, :, :, 0]))
-        part = np.concatenate(part)
-        np.testing.assert_allclose(part, whole, rtol=1e-4, atol=1e-5)
+        # Carryover through the REAL code path: seq_len=2 (hidden state
+        # carried across chunk boundaries) must equal seq_len=9 (each
+        # offset processed as one chunk, nothing carried).  Equality over
+        # the full interleave is a stronger carryover assertion than the
+        # former hand-rolled single-offset oracle, and compiles 1 extra
+        # dynamic program instead of 3 (the uint8 quantization leaves 1
+        # LSB of fp slack).  Full-width carryover parity vs torch stays in
+        # test_models_unisal::test_hidden_state_carryover.
+        whole = pred.predict_video(frames, frame_modulo=3, seq_len=9)
+        diff = np.abs(maps.astype(np.int32) - whole.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
 
     def test_smooth_method_applies(self):
         from retargetvid_tpu.models.unisal import UNISAL

@@ -303,8 +303,10 @@ def test_oneshot_pipelined_dispatch_matches_run():
                                  model=un_model, dtype=jnp.float32)
 
     rng = np.random.default_rng(7)
+    # 2 clips: enough to exercise out-of-order collect vs sync order; each
+    # extra clip costs 2 more ~13 s tiny-program executions on this host.
     clips = [jnp.asarray(rng.integers(0, 255, (fc, h, w, 3)).astype(np.uint8))
-             for _ in range(3)]
+             for _ in range(2)]
     kw = dict(fps=30.0, w_final=dest['w_final'], h_final=dest['h_final'])
 
     sync = [program.run(c, cp, **kw) for c in clips]

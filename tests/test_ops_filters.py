@@ -142,7 +142,12 @@ class TestSmoothSegments:
         dyi = dxi.copy()
         seg_starts = np.array([0, 0], np.int32)
         seg_ends = np.array([59, 0], np.int32)
-        fps = 30.0
+        # fps 10 -> static savgol bank 5..19 (8 windows) instead of 5..59
+        # (28): the BANKING semantics under test are window-count
+        # independent, and window 59 itself is covered by
+        # TestSavgol::test_matches_scipy[100-59]; the big bank's compile
+        # dominated this test's 59 s on the 1-core host.
+        fps = 10.0
         dxs, dys, dxl, dyl = smooth_segments(
             dxi, dyi, seg_starts, seg_ends, 1,
             fps=fps, loess_filt=0, w_secs=2.0, degree=2,
