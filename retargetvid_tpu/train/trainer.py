@@ -216,20 +216,32 @@ def make_eval_step(model: UNISAL, *, source: str,
                    static_batch: Optional[bool] = None) -> Callable:
     """Jitted forward-only loss evaluation (the reference's valid phase:
     ``fit_sample`` under ``torch.set_grad_enabled(False)``, train.py:356-366).
-    """
-    def step(params, batch_stats, x, sal, fix):
-        variables = {'params': params, 'batch_stats': batch_stats}
-        static = x.shape[1] == 1 if static_batch is None else static_batch
-        logp, _ = model.apply(variables, x, source=source, static=static)
-        summands = [jnp.mean(s)
-                    for s in loss_sequences(logp, sal, fix, metrics)]
-        loss = sum(wt * s for wt, s in zip(loss_weights, summands))
-        out = {'loss': loss}
-        for name, val in zip(metrics, summands):
-            out[name] = val
-        return out
 
-    return jax.jit(step)
+    Shared process-wide on the full config (no optimizer state enters, so
+    equal-config Trainers — e.g. ``cli train`` then ``cli score`` in one
+    process — reuse one compiled step instead of re-jitting per instance).
+    """
+    from retargetvid_tpu.utils.cache import shared_program
+
+    def build():
+        def step(params, batch_stats, x, sal, fix):
+            variables = {'params': params, 'batch_stats': batch_stats}
+            static = (x.shape[1] == 1 if static_batch is None
+                      else static_batch)
+            logp, _ = model.apply(variables, x, source=source, static=static)
+            summands = [jnp.mean(s)
+                        for s in loss_sequences(logp, sal, fix, metrics)]
+            loss = sum(wt * s for wt, s in zip(loss_weights, summands))
+            out = {'loss': loss}
+            for name, val in zip(metrics, summands):
+                out[name] = val
+            return out
+
+        return jax.jit(step)
+
+    key = ('eval-step', repr(model), source, tuple(loss_weights),
+           tuple(metrics), static_batch)
+    return shared_program(key, build)
 
 
 class Trainer(KwConfig):

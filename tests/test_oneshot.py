@@ -15,22 +15,29 @@ def _random_probs(rng, n, p_hi=0.06):
 
 
 def test_device_sampling_matches_host():
+    """Every trial runs the PADDED-capacity program (static fc_cap, traced
+    live count n) — the batched SPMD contract — so the 20 random frame
+    counts share ONE compiled program per skip instead of compiling 20
+    (the old per-fc static form cost ~0.5 s compile per trial)."""
     from retargetvid_tpu.pipeline.ingest import sample_frames
     from retargetvid_tpu.pipeline.oneshot import sample_frames_device
 
     rng = np.random.default_rng(3)
+    fc_cap, t_sel_cap = 300, 300 // 1 + 8
     for trial in range(20):
         fc = int(rng.integers(8, 300))
         skip = int(rng.choice([1, 4, 6, 9]))
         probs = _random_probs(rng, fc)
         selected, true_inds, m2o = sample_frames(fc, probs, skip, fc)
-        t_sel_pad = len(true_inds) + 5
+        probs_pad = np.zeros(fc_cap, np.float32)
+        probs_pad[:fc] = probs
         sel_mask, sel_idx, fc_sel, ti = jax.jit(
             sample_frames_device, static_argnums=(1, 2, 3))(
-            jnp.asarray(probs), skip, fc, t_sel_pad)
+            jnp.asarray(probs_pad), skip, fc_cap, t_sel_cap, n=fc)
         assert int(fc_sel) == len(true_inds), (trial, fc, skip)
         assert list(np.asarray(sel_idx)[:len(true_inds)]) == true_inds
-        assert list(np.nonzero(np.asarray(sel_mask))[0]) == true_inds
+        sel_nz = list(np.nonzero(np.asarray(sel_mask))[0])
+        assert sel_nz == true_inds
         # ascending continuation beyond the live region
         tail = np.asarray(ti)[len(true_inds):]
         assert np.all(np.diff(np.asarray(ti)) >= 1)
@@ -58,20 +65,26 @@ def test_device_scenes_match_host():
     first_hi[0] = 0.9                               # prob[0] > t quirk
     cases.append(first_hi)
 
+    # Padded-capacity programs (static caps, traced live count n — the
+    # batched SPMD contract): all 19 cases share ONE compiled program per
+    # function instead of one per distinct length.
+    fc_cap = 260
+    t_sel_cap = fc_cap // 6 + fc_cap // 8 + 10
+    s_cap = fc_cap // 2 + 4
     for probs in cases:
         fc = len(probs)
         seg = fix_scene_bounds(predictions_to_scenes(probs, 0.1), fc)
         _, _, m2o = sample_frames(fc, probs, 6, fc)
         seg_sel = scenes_to_selected(seg, m2o)
 
-        s_pad = len(seg) + 3
-        t_sel_pad = fc // 6 + fc // 8 + 10
+        probs_pad = np.zeros(fc_cap, np.float32)
+        probs_pad[:fc] = probs
         sel_mask, _, _, _ = jax.jit(
             sample_frames_device, static_argnums=(1, 2, 3))(
-            jnp.asarray(probs), 6, fc, t_sel_pad)
+            jnp.asarray(probs_pad), 6, fc_cap, t_sel_cap, n=fc)
         ss, se, sss, sse, n = jax.jit(
             scene_bounds_device, static_argnums=(2, 3))(
-            jnp.asarray(probs), sel_mask, fc, s_pad)
+            jnp.asarray(probs_pad), sel_mask, fc_cap, s_cap, n=fc)
         n = int(n)
         assert n == len(seg), probs[:8]
         assert list(np.asarray(ss)[:n]) == [int(s[0]) for s in seg]
@@ -99,7 +112,7 @@ def test_oneshot_program_matches_two_dispatch():
     )
     from retargetvid_tpu.pipeline.oneshot import OneShotClipProgram
 
-    fc, h, w = 60, 90, 160
+    fc, h, w = 48, 72, 128
     fps = 30.0
     cp = sc_init_crop_params()
     cp['out_ratio'] = '1:3'
@@ -171,7 +184,7 @@ def test_oneshot_fullseq_matches_windowed_decisions():
 
     from conftest import TINY_UNISAL_CFG
 
-    fc, h, w = 60, 90, 160
+    fc, h, w = 48, 72, 128
     cp = sc_init_crop_params()
     cp['out_ratio'] = '1:3'
     dest = calc_dest_size(w, h, cp['out_ratio'])
@@ -225,7 +238,7 @@ def test_oneshot_multi_ratio_matches_per_ratio():
 
     # Same shapes/models as test_oneshot_program_matches_two_dispatch so
     # the scalar one-shot program is shared within the session.
-    fc, h, w = 60, 90, 160
+    fc, h, w = 48, 72, 128
     cp = sc_init_crop_params()
     rng = np.random.default_rng(11)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -283,7 +296,7 @@ def test_oneshot_pipelined_dispatch_matches_run():
     # Same shapes/model as test_oneshot_program_matches_two_dispatch so the
     # compiled one-shot program is shared within the session (VERDICT r03:
     # distinct signatures each pay a full cold compile on the 1-core host).
-    fc, h, w = 60, 90, 160
+    fc, h, w = 48, 72, 128
     cp = sc_init_crop_params()
     cp['out_ratio'] = '1:3'
     dest = calc_dest_size(w, h, cp['out_ratio'])

@@ -25,18 +25,18 @@ def test_fused_matches_separate():
     variables = model.init(jax.random.PRNGKey(11), x0, static=True)
 
     rng = np.random.default_rng(2)
-    # Same clip signature as the test_oneshot tests (fc=60 at 90x160,
+    # Same clip signature as the test_oneshot tests (fc=48 at 72x128,
     # fps=30, h_orig/w_orig = the frame dims): the FusedClipProgram is
     # then shared process-wide with the one-shot tests' 2-dispatch arm
     # (utils.cache.shared_program) instead of paying its own full cold
     # compile on the 1-core host.  Fused == separate is dim-independent.
-    n_frames = 60
-    h, w = 90, 160
+    n_frames = 48
+    h, w = 72, 128
     yy, xx = np.mgrid[0:h, 0:w]
     frames = np.zeros((n_frames, h, w, 3), np.uint8)
     for t in range(n_frames):
         cx = 20 + 2 * t
-        blob = 220 * np.exp(-(((yy - 45) ** 2 + (xx - cx) ** 2) / 300.0))
+        blob = 220 * np.exp(-(((yy - 36) ** 2 + (xx - cx) ** 2) / 300.0))
         frames[t] = blob[..., None].astype(np.uint8)
 
     cp = sc_init_crop_params()
@@ -51,14 +51,14 @@ def test_fused_matches_separate():
     smaps = predictor.predict(frames[np.array(selected)])
     ref = run_geometry(smaps, true_inds, seg, seg_sel, cp,
                        fps=30.0, h_orig=h, w_orig=w,
-                       w_final=30, h_final=90, fc=n_frames)
+                       w_final=24, h_final=72, fc=n_frames)
 
     # Fused path.
     prog = FusedClipProgram(variables=variables, model=model,
                             dtype=jnp.float32)
     out = prog.run(jnp.asarray(frames), selected, true_inds, seg, seg_sel,
                    cp, fps=30.0, h_orig=h, w_orig=w,
-                   w_final=30, h_final=90, fc=n_frames)
+                   w_final=24, h_final=72, fc=n_frames)
 
     # Identical math modulo uint8 quantization of the maps.
     diff = np.abs(out['boxes'] - ref['boxes'])
